@@ -1,0 +1,50 @@
+"""Table catalog over the driver-generated Parquet test tables.
+
+Tables (FIXTURES.md §3): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``{sf_dir}/{name}.parquet``.
+
+At 100 TB these would be partitioned lakehouse tables (events by day,
+lineitem by ship-month — SURVEY.md §7 Phase 5); the scan API below is
+the single place that knowledge lives, so queries never hard-code paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar Parquet scan. Catalyst pushes predicates and prunes
+    columns into this scan automatically (verified via .explain —
+    PushedFilters / ReadSchema)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every table as a temp view (for the spark.sql entry
+    point, SURVEY.md §2 B20)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")

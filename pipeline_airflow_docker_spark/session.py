@@ -1,0 +1,74 @@
+"""SparkSession factory + scale-oriented runtime configuration.
+
+The reference executes everything eagerly in single-process pandas with
+no optimizer (SURVEY.md §4.1). Here the session is configured for the
+opposite: lazy Catalyst plans, AQE re-planning at runtime, skew-join
+splitting, and partition coalescing — the settings that matter when the
+same plans run on a 1000-executor cluster over ~100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe/desirable to (re)apply on an existing session at
+# runtime — everything here is runtime-settable SQL conf.
+RUNTIME_CONF: dict[str, str] = {
+    # AQE: runtime re-planning — broadcast-at-runtime, skew-join
+    # splitting, and post-shuffle partition coalescing. At 100 TB these
+    # replace hand-tuned shuffle partition counts.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas/Python boundary (Pandas UDFs, toPandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: permissive casts match the reference's pandas semantics.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session.
+
+    The correctness driver passes us *its* session; we only touch confs
+    that are legal to set mid-flight.
+    """
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Not settable on this session (e.g. static conf) — fine.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "pipeline_airflow_docker_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a session tuned for local testing.
+
+    ``local[N]`` here; on a real cluster the same confs apply, with
+    shuffle partitioning left to AQE coalescing from a high initial
+    partition count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_conf(spark)
