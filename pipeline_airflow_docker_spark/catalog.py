@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES: tuple[str, ...] = (
     "region",
@@ -40,7 +41,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     PushedFilters / ReadSchema)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
+        # read natively: read nanos as long, truncate to microseconds
+        # (integer division — double division mis-rounds near microsecond
+        # boundaries at these magnitudes). Matches DuckDB's ns->us read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:

@@ -1,4 +1,316 @@
 """Reference-literal batch operators (SURVEY.md §2 Part A) as qkeys.
 
-Populated in Phase 1.
+Every data operation the reference actually performs, re-expressed on
+the driver's test tables so the DuckDB oracle can grade it. Each qkey
+composes the reusable operators in ``..operators`` — the queries here
+are the correctness harness; the operators are the product.
+
+Determinism: the reference stamps wall-clock timestamps; qkeys derive
+stamps from data (``doc_id``) instead so runs are replayable.
 """
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.operators import (
+    drop_null_rows,
+    enrich,
+    nest_struct,
+    require_keys,
+    union_ragged,
+)
+from pipeline_airflow_docker_spark.operators.quality import count_gate
+from pipeline_airflow_docker_spark.plans.registry import query
+
+# Epoch seconds of 2024-01-01T00:00:00Z — base for data-derived stamps.
+_EPOCH_2024 = 1_704_067_200
+
+
+# --------------------------------------------------------------------
+# S2 CSV scan [ref dags/etl_data_pipeline.py:18] — parquet -> CSV ->
+# typed read round-trip (header + explicit schema; inferSchema is the
+# compat mode, not the default: at 100 TB inference is an extra pass).
+# --------------------------------------------------------------------
+@query("q_scan_csv", oracle="SELECT r_regionkey, r_name FROM region")
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staging = os.path.join(tempfile.mkdtemp(prefix="padspark_csv_"), "region_csv")
+    table(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(staging)
+    return spark.read.option("header", True).schema("r_regionkey INT, r_name STRING").csv(staging)
+
+
+# --------------------------------------------------------------------
+# S3 JSON-records scan [ref dags/etl_data_pipeline_mongodb.py:35] —
+# parquet -> JSONL -> typed read round-trip.
+# --------------------------------------------------------------------
+@query("q_scan_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staging = os.path.join(tempfile.mkdtemp(prefix="padspark_json_"), "nation_json")
+    table(spark, sf_dir, "nation").write.mode("overwrite").json(staging)
+    return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(staging)
+
+
+def _customer_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer with synthetic missing values (the driver tables are
+    dense; the hw_200 fixture the reference cleans is not)."""
+    c = table(spark, sf_dir, "customer")
+    return c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(F.col("c_acctbal")),
+    ).withColumn(
+        "c_name",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None)).otherwise(F.col("c_name")),
+    )
+
+
+_NULLED_CUSTOMER_SQL = """
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_name END AS c_name,
+         c_nationkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+         c_mktsegment
+  FROM customer
+"""
+
+
+# --------------------------------------------------------------------
+# P1 dropna(any) [ref dags/etl_data_pipeline.py:23]
+# --------------------------------------------------------------------
+@query(
+    "q_dropna_any",
+    oracle=f"""
+    SELECT * FROM ({_NULLED_CUSTOMER_SQL})
+    WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+    """,
+)
+def q_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drop_null_rows(_customer_with_nulls(spark, sf_dir), how="any")
+
+
+# --------------------------------------------------------------------
+# P2 dropna(all) [ref dags/etl_data_pipeline_mongodb_complex.py:40]
+# --------------------------------------------------------------------
+@query(
+    "q_dropna_all",
+    oracle="""
+    SELECT c_name, c_acctbal FROM (
+      SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_name END AS c_name,
+             CASE WHEN c_custkey % 13 = 0 OR c_custkey % 7 = 0 THEN NULL
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer
+    ) WHERE c_name IS NOT NULL OR c_acctbal IS NOT NULL
+    """,
+)
+def q_dropna_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when((F.col("c_custkey") % 13 == 0) | (F.col("c_custkey") % 7 == 0), F.lit(None))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return drop_null_rows(c, how="all")
+
+
+# --------------------------------------------------------------------
+# P3+P10 project + upper + trim [ref dags/kafka_to_mongo_pipeline.py:76;
+# dags/scrap_to_kafka_to_mongo_pipeline.py:59,108]
+# --------------------------------------------------------------------
+@query(
+    "q_project_upper",
+    oracle="SELECT doc_id, UPPER(TRIM(text)) AS title FROM documents",
+)
+def q_project_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.upper(F.trim(F.col("text"))).alias("title"))
+
+
+# --------------------------------------------------------------------
+# P4 required-keys validation filter
+# [ref dags/kafka_to_mongo_pipeline_enchanced.py:31-42]
+# --------------------------------------------------------------------
+@query(
+    "q_filter_required",
+    oracle="""
+    SELECT * FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang,
+             source, n_chars
+      FROM documents
+    ) WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+    """,
+)
+def q_filter_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    d = d.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("text"))
+    ).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    return require_keys(d, ["doc_id", "text", "lang"])
+
+
+# --------------------------------------------------------------------
+# P5 record enrichment [ref dags/kafka_to_mongo_pipeline_enchanced.py:65-80]
+# --------------------------------------------------------------------
+@query(
+    "q_enrich",
+    oracle=f"""
+    SELECT doc_id, text,
+           strftime(to_timestamp({_EPOCH_2024} + doc_id), '%Y-%m-%dT%H:%M:%S')
+             AS processed_timestamp,
+           'jsonplaceholder_api' AS source,
+           'raw' AS data_status
+    FROM documents
+    """,
+)
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    stamp = F.timestamp_seconds(F.lit(_EPOCH_2024) + F.col("doc_id"))
+    return enrich(d, source="jsonplaceholder_api", status="raw", ts=stamp)
+
+
+# --------------------------------------------------------------------
+# P6 nested wrap [ref pyc DAG data_pipeline_workflow, consts
+# ('original_data','processed_at','status')] — struct serialized to
+# JSON so the oracle comparison is format-stable.
+# --------------------------------------------------------------------
+@query(
+    "q_nest_struct",
+    oracle=f"""
+    SELECT to_json(struct_pack(doc_id := doc_id, text := text, lang := lang))
+             AS original_data_json,
+           strftime(to_timestamp({_EPOCH_2024} + doc_id), '%Y-%m-%dT%H:%M:%S')
+             AS processed_at,
+           'processed' AS status
+    FROM documents
+    """,
+)
+def q_nest_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    stamp = F.timestamp_seconds(F.lit(_EPOCH_2024) + F.col("doc_id"))
+    wrapped = nest_struct(d, wrapper="original_data", status="processed", ts=stamp)
+    return wrapped.select(
+        F.to_json(F.col("original_data")).alias("original_data_json"),
+        "processed_at",
+        "status",
+    )
+
+
+# --------------------------------------------------------------------
+# P7 JSON serialize/deserialize round-trip [ref producer.py:8,
+# consumer.py:17] over the events.props JSON column.
+# --------------------------------------------------------------------
+@query(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS value
+    FROM events
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.from_json(F.col("props"), "k INT").alias("r")
+    )
+    return e.select(
+        "event_id",
+        F.col("r.k").alias("k"),
+        F.to_json(F.col("r")).alias("value"),
+    )
+
+
+# --------------------------------------------------------------------
+# P9 index/enumerate assignment [ref dags/scrap_to_kafka_to_mongo_pipeline.py:58]
+# — deterministic: explicit total order (SURVEY.md §7 trap list).
+# --------------------------------------------------------------------
+@query(
+    "q_row_number",
+    oracle="SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS idx FROM documents",
+)
+def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("idx")
+    )
+
+
+# --------------------------------------------------------------------
+# C1 ragged UNION ALL [ref dags/etl_data_pipeline_mongodb_complex.py:31]
+# — zero-overlap schemas, missing cells -> null, left-then-right
+# column order (pandas concat parity).
+# --------------------------------------------------------------------
+@query(
+    "q_union_ragged",
+    oracle="""
+    SELECT r_regionkey AS region_key, r_name AS region_name,
+           CAST(NULL AS VARCHAR) AS nation_name, CAST(NULL AS INTEGER) AS nation_key
+    FROM region
+    UNION ALL
+    SELECT CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), n_name, n_nationkey
+    FROM nation
+    """,
+)
+def q_union_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    left = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("region_key"), F.col("r_name").alias("region_name")
+    )
+    right = table(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("nation_name"), F.col("n_nationkey").alias("nation_key")
+    )
+    return union_ragged(left, right)
+
+
+# --------------------------------------------------------------------
+# G1 row count [ref dags/etl_data_pipeline_mongodb_complex.py:43]
+# --------------------------------------------------------------------
+@query("q_count", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------
+# G2 count-threshold gate [ref dags/etl_data_pipeline_mongodb_complex.py:57-62]
+# — at sf>=0.01 the cleaned count exceeds 10, so the oracle is the
+# cleaned relation (the "run" branch).
+# --------------------------------------------------------------------
+@query(
+    "q_count_gate",
+    oracle=f"""
+    SELECT * FROM ({_NULLED_CUSTOMER_SQL})
+    WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+    """,
+)
+def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cleaned = drop_null_rows(_customer_with_nulls(spark, sf_dir), how="any")
+    return count_gate(cleaned, min_rows=10)
+
+
+# --------------------------------------------------------------------
+# G3/G4 head/limit [ref dags/data_extraction.py:19; take-N caps] —
+# deterministic: limit only after a total order (TakeOrderedAndProject).
+# --------------------------------------------------------------------
+@query(
+    "q_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 5
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(5)
+    )

@@ -26,6 +26,10 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic timestamp semantics vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # The events table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    # rejects by default; read as long, catalog.table converts to
+    # microsecond timestamps (truncation — matches DuckDB's ns->us).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ANSI off: permissive casts match the reference's pandas semantics.
     "spark.sql.ansi.enabled": "false",
 }

@@ -1,0 +1,112 @@
+"""Semantics unit tests for the operator library — the pandas<->Spark
+parity traps called out in SURVEY.md §7 ("what's hard" #1) plus the
+upsert/gate/json edge cases, on tiny literal DataFrames."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.operators import (
+    drop_null_rows,
+    enrich,
+    json_deserialize,
+    json_serialize,
+    latest_by_key,
+    nest_struct,
+    require_keys,
+    union_ragged,
+)
+from pipeline_airflow_docker_spark.operators.quality import count_gate
+
+
+def test_dropna_treats_nan_like_null(spark):
+    # pandas dropna drops both NaN and None; Spark's na.drop must too.
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, None)], "id INT, x DOUBLE"
+    )
+    kept = drop_null_rows(df, how="any").select("id").collect()
+    assert [r.id for r in kept] == [1]
+
+
+def test_dropna_all_keeps_partial_rows(spark):
+    df = spark.createDataFrame(
+        [(None, None), ("a", None), (None, 1.0)], "s STRING, x DOUBLE"
+    )
+    assert drop_null_rows(df, how="all").count() == 2
+
+
+def test_union_ragged_column_order_matches_pandas_concat(spark):
+    # pd.concat result order: df1's columns, then df2's new columns.
+    df1 = spark.createDataFrame([("jan", 340)], "Month STRING, y1958 INT")
+    df2 = spark.createDataFrame([("Doe", 88.5)], "last_name STRING, Final DOUBLE")
+    out = union_ragged(df1, df2)
+    assert out.columns == ["Month", "y1958", "last_name", "Final"]
+    rows = out.orderBy(F.col("Month").asc_nulls_last()).collect()
+    assert rows[0] == Row(Month="jan", y1958=340, last_name=None, Final=None)
+    assert rows[1] == Row(Month=None, y1958=None, last_name="Doe", Final=88.5)
+
+
+def test_require_keys_filters_missing(spark):
+    df = spark.createDataFrame(
+        [(1, "t", "b"), (2, None, "b"), (3, "t", None)],
+        "id INT, title STRING, body STRING",
+    )
+    assert [r.id for r in require_keys(df, ["id", "title", "body"]).collect()] == [1]
+
+
+def test_latest_by_key_last_writer_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, "new"), (2, 5, "only")],
+        "id INT, ts INT, payload STRING",
+    )
+    out = {r.id: r.payload for r in latest_by_key(df, ["id"], ["ts"]).collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_latest_by_key_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 20, "c"), (2, 1, "d")],
+        "id INT, ts INT, payload STRING",
+    )
+    once = latest_by_key(df, ["id"], ["ts"], tiebreak=["payload"])
+    twice = latest_by_key(once, ["id"], ["ts"], tiebreak=["payload"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_count_gate_skip_branch_is_empty_same_schema(spark):
+    df = spark.createDataFrame([(1,)], "id INT")
+    gated = count_gate(df, min_rows=10)
+    assert gated.count() == 0 and gated.schema == df.schema
+    assert count_gate(df, min_rows=0).count() == 1
+
+
+def test_enrich_adds_provenance(spark):
+    df = spark.createDataFrame([(1,)], "id INT")
+    out = enrich(df, source="api", status="raw", ts=F.to_timestamp(F.lit("2024-01-01 00:00:09")))
+    row = out.collect()[0]
+    assert row.processed_timestamp == "2024-01-01T00:00:09"
+    assert row.source == "api" and row.data_status == "raw"
+
+
+def test_nest_struct_shape(spark):
+    df = spark.createDataFrame([(1, "t")], "id INT, title STRING")
+    out = nest_struct(df, ts=F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    assert out.columns == ["original_data", "processed_at", "status"]
+    row = out.collect()[0]
+    assert row.original_data.id == 1 and row.original_data.title == "t"
+    assert row.status == "processed"
+
+
+def test_json_roundtrip_and_corrupt_record(spark):
+    df = spark.createDataFrame([(1, "x")], "id INT, s STRING")
+    ser = json_serialize(df)
+    assert ser.collect()[0].value == '{"id":1,"s":"x"}'
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType([StructField("id", IntegerType()), StructField("s", StringType())])
+    back = json_deserialize(ser, schema)
+    assert back.collect()[0] == Row(id=1, s="x")
+    # corrupt record -> nulls, not a crash (the reference crashed).
+    bad = spark.createDataFrame([("{not json",)], "value STRING")
+    assert json_deserialize(bad, schema).collect()[0] == Row(id=None, s=None)
