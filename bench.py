@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the sum of per-query wall-clock seconds (action =
+count-collect of the full result, no driver materialization of wide
+rows). Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default *), SPARK_GRAFT_BENCH_KEYS (csv subset).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pipeline_airflow_docker_spark import plans  # noqa: E402
+from pipeline_airflow_docker_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan+filter, agg, joins of
+# each shape, window, top-k, set ops, functions, UDF boundary). Kept
+# stable across rounds so BENCH_r{N}.json is comparable.
+HEADLINE = [
+    "q_agg_group",       # grouped multi-aggregate (flagship, TPC-H Q1 shape)
+    "q_filter_pred",     # pushdown filter scan
+    "q_join_inner",      # 4-way join + agg (TPC-H Q5 shape)
+    "q_join_outer",      # left outer + double agg (Q13 shape)
+    "q_join_asof",       # as-of join via single window pass
+    "q_agg_distinct",    # exact count-distinct
+    "q_agg_rollup",      # grouping sets
+    "q_topk",            # TakeOrderedAndProject
+    "q_win_rank",        # ranking windows
+    "q_win_frame",       # analytic windows with frames
+    "q_setops",          # intersect/except
+    "q_fn_math",         # scalar function pack over widest table
+    "q_udf",             # Arrow pandas-UDF boundary
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
+    keys = [k for k in (keys_env.split(",") if keys_env else HEADLINE) if k in plans.QUERIES]
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # plan, not session startup.
+    plans.QUERIES["q_topk"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in keys:
+        t0 = time.time()
+        df = plans.QUERIES[name](spark, sf_dir)
+        n = df.count() if len(df.columns) > 8 else len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

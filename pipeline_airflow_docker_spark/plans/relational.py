@@ -6,14 +6,17 @@ The reference never joins, groups, windows, or sorts anything (SURVEY.md
 ``[EXT]`` generalized closure its clean->enrich->combine->count patterns
 imply. Everything is declarative DataFrame API — Catalyst does pushdown,
 join selection (broadcast vs shuffle via AQE), and whole-stage codegen.
+
+Scale notes are attached per query: the physical-plan shape each one
+should (and does — see tests/test_plans.py) produce.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.catalog import register_views, table
 from pipeline_airflow_docker_spark.functions import davg, dec, dsum
 from pipeline_airflow_docker_spark.plans.registry import query
 
@@ -24,10 +27,10 @@ from pipeline_airflow_docker_spark.plans.registry import query
 # Physical plan: parquet scan (shipdate filter pushed) -> partial
 # HashAggregate -> shuffle on 2 low-cardinality keys -> final
 # HashAggregate -> sort. At 100 TB the partial aggregation collapses
-# 6B rows/TB to 6 groups per task before the shuffle.
+# billions of rows to 6 groups per task before the shuffle.
 # --------------------------------------------------------------------
 
-_PRICING_ORACLE = """
+_PRICING_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
@@ -48,7 +51,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q_agg_group", oracle=_PRICING_ORACLE)
+@query("q_agg_group", oracle=_PRICING_SQL)
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
@@ -67,3 +70,644 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# --------------------------------------------------------------------
+# B20 SQL entry point: the same flagship through spark.sql over
+# registered views — proves DF and SQL paths produce identical plans.
+# --------------------------------------------------------------------
+@query("q_sql_entry", oracle=_PRICING_SQL)
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_PRICING_SQL)
+
+
+# --------------------------------------------------------------------
+# B1 compound predicates: BETWEEN / IN / LIKE / comparison. All five
+# predicates push into the parquet scan (PushedFilters) — at 100 TB
+# with lineitem partitioned by ship-month this prunes ~29/36 months
+# before any row is read.
+# --------------------------------------------------------------------
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1996-12-31 00:00:00'
+      AND l_returnflag IN ('A', 'R')
+      AND l_linestatus LIKE 'F%'
+      AND l_quantity BETWEEN 10 AND 20
+      AND l_discount >= 0.05
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-12-31")
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_quantity").between(10, 20)
+        & (F.col("l_discount") >= 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice")
+
+
+# --------------------------------------------------------------------
+# B2 inner equi-join chain with broadcast dim: revenue per nation
+# (TPC-H Q5 shape). nation is broadcast (no shuffle); the
+# customer⋈orders⋈lineitem chain shuffles on its keys with AQE free to
+# re-plan: at 100 TB, orders⋈lineitem is the big sort-merge join and
+# nation stays a broadcast hash join on every executor.
+# --------------------------------------------------------------------
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------
+# B3 left outer join + two-level aggregate: order-count distribution
+# per customer including zero-order customers (TPC-H Q13 shape).
+# --------------------------------------------------------------------
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------
+# B3 full outer join: deliberately asymmetric per-nation customer vs
+# supplier counts, null-safe coalesced key.
+# --------------------------------------------------------------------
+@query(
+    "q_join_full",
+    oracle="""
+    SELECT COALESCE(a.nationkey, b.nationkey) AS nationkey,
+           a.cnt_customers, b.cnt_suppliers
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS cnt_customers
+          FROM customer WHERE c_nationkey < 15 GROUP BY c_nationkey) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS cnt_suppliers
+          FROM supplier WHERE s_nationkey >= 10 GROUP BY s_nationkey) b
+    ON a.nationkey = b.nationkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 15)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("cnt_customers"))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") >= 10)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("cnt_suppliers"))
+    )
+    return cust.join(supp, "nationkey", "full").select(
+        "nationkey", "cnt_customers", "cnt_suppliers"
+    )
+
+
+# --------------------------------------------------------------------
+# B4 semi / anti joins: customers with (semi) / without (anti) orders
+# in 1995. Both avoid materializing the probe side — no fanout, and
+# Catalyst rewrites IN/EXISTS subqueries to exactly these.
+# --------------------------------------------------------------------
+_ORDERS_1995 = "SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"
+
+
+@query(
+    "q_join_semi",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN ({_ORDERS_1995})
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = _orders_in_1995(spark, sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle=f"""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN ({_ORDERS_1995})
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = _orders_in_1995(spark, sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def _orders_in_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_custkey")
+
+
+# --------------------------------------------------------------------
+# B5 range (non-equi) join: classify orders into price tiers. The tier
+# side is 3 rows -> BroadcastNestedLoopJoin; the fact side streams
+# through without a shuffle, which is the right 100 TB plan for
+# banding joins.
+# --------------------------------------------------------------------
+_TIERS = [(0.0, 100_000.0, "small"), (100_000.0, 300_000.0, "medium"), (300_000.0, 600_000.0, "large")]
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT o.o_orderkey, t.tier
+    FROM orders o
+    JOIN (VALUES (0.0, 100000.0, 'small'),
+                 (100000.0, 300000.0, 'medium'),
+                 (300000.0, 600000.0, 'large')) AS t(lo, hi, tier)
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(_TIERS, "lo DOUBLE, hi DOUBLE, tier STRING")
+    cond = (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi)
+    return o.join(F.broadcast(tiers), cond).select("o_orderkey", "tier")
+
+
+# --------------------------------------------------------------------
+# B6 as-of join (no native Spark op — SURVEY.md §4.2): for each click
+# event, the most recent view at-or-before it by the same user.
+# Spark recipe: union both sides tagged, one window pass per user with
+# last(ignorenulls) — a single shuffle on user_id, linear in events,
+# no range-join blowup. Oracle: DuckDB's native ASOF LEFT JOIN.
+# --------------------------------------------------------------------
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, v.ts AS last_view_ts
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("view_ts"),
+        F.lit(1).alias("__kind"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("ts").alias("view_ts"), F.lit(0).alias("__kind"),
+    )
+    # views sort before clicks at equal ts (__kind 0 < 1) => "at or
+    # before" semantics; event_id makes the order total.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "__kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(views).withColumn(
+        "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("__kind") == 1).select(
+        "event_id", "user_id", "ts", "last_view_ts"
+    )
+
+
+# --------------------------------------------------------------------
+# B8 distinct / count-distinct. Exact distinct shuffles twice
+# (expand + merge); the approximate variant below trades that for a
+# single HLL++ sketch pass — the 100 TB default.
+# --------------------------------------------------------------------
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# Rows-only: HLL++ estimates are implementation-specific, so there is
+# no cross-engine hash to match (SURVEY.md Qkey table) — the driver
+# records the weaker rows-present check; unit tests bound the error.
+@query("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# B9 rollup with grouping id (cube is the same machinery).
+# --------------------------------------------------------------------
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+    )
+
+
+# --------------------------------------------------------------------
+# B10 sort + top-k: planner compiles to TakeOrderedAndProject — a
+# per-partition bounded heap + driver merge of k rows, never a global
+# sort. The tie-break makes the result set deterministic.
+# --------------------------------------------------------------------
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------
+# B11 ranking windows. row_number gets a total order (tie-broken);
+# rank/dense_rank run over the value ordering alone so tie semantics
+# are actually exercised.
+# --------------------------------------------------------------------
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+    FROM customer
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w_total = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w_value = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_value).alias("rnk"),
+        F.dense_rank().over(w_value).alias("drnk"),
+    )
+
+
+# --------------------------------------------------------------------
+# B12 analytic windows with frames: running spend per customer +
+# lag/lead/first. Running sum in exact decimal so every prefix is
+# order-independent-reproducible.
+# --------------------------------------------------------------------
+@query(
+    "q_win_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w_run AS DOUBLE) AS running_spend,
+           LAG(o_totalprice, 1)  OVER w AS prev_price,
+           LEAD(o_totalprice, 1) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w_run AS first_price
+    FROM orders
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w_run).cast("double").alias("running_spend"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.first("o_totalprice").over(w_run).alias("first_price"),
+    )
+
+
+# --------------------------------------------------------------------
+# B13 set ops: intersect + except over distinct key sets, tagged and
+# stacked into one result.
+# --------------------------------------------------------------------
+@query(
+    "q_setops",
+    oracle="""
+    SELECT 'both' AS tag, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS tag, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
+    only = cust.exceptAll(supp).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(only).select("tag", "nationkey")
+
+
+# --------------------------------------------------------------------
+# B14 string function pack — all JVM built-ins, whole-stage codegen'd;
+# no Python in the hot path.
+# --------------------------------------------------------------------
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_type) AS type_lower,
+           SUBSTRING(p_name, 1, 4) AS name_prefix,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           CONCAT_WS('|', p_brand, p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS name_snake,
+           REGEXP_EXTRACT(p_brand, '[0-9]+') AS brand_num,
+           STRING_SPLIT(p_name, ' ')[1] AS first_word,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+# --------------------------------------------------------------------
+# B15 date/time function pack. DuckDB's date_trunc returns DATE for
+# month-trunc — cast both sides to TIMESTAMP explicitly.
+# --------------------------------------------------------------------
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAYOFMONTH(o_orderdate) AS INT) AS order_day,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(DATE_DIFF('day', o_orderdate, DATE '2002-01-01') AS INT) AS days_to_2002,
+           CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec,
+           STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_2002"),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("iso"),
+    )
+
+
+# --------------------------------------------------------------------
+# B16 math function pack. sqrt is IEEE-exact cross-engine; pow is
+# expressed as multiplication (libm pow is not bit-stable across
+# engines); floor/ceil come back as BIGINT on both sides.
+# --------------------------------------------------------------------
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_rounded,
+           ABS(l_quantity - 25.0) AS qty_dev,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_rounded"),
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+# --------------------------------------------------------------------
+# B17 JSON + array/higher-order functions over events.props and
+# documents.text.
+# --------------------------------------------------------------------
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) % 10 AS k_bucket,
+           CAST(LENGTH(props) AS INT) AS props_len
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_bucket"),
+        F.length("props").alias("props_len"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'spark') AS has_spark,
+           STRING_SPLIT(text, ' ')[1] AS first_token,
+           STRING_SPLIT(text, ' ')[-1] AS last_token
+    FROM documents
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        toks.getItem(0).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
+# --------------------------------------------------------------------
+# B18 subqueries (scalar + correlated EXISTS) through the SQL entry
+# point — the identical ANSI text runs on both engines; Catalyst
+# decorrelates the EXISTS into a semi join.
+# --------------------------------------------------------------------
+_SUBQUERY_SQL = """
+SELECT c_custkey, c_acctbal
+FROM customer c
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        FROM customer)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@query("q_subquery", oracle=_SUBQUERY_SQL)
+def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQUERY_SQL)
+
+
+# --------------------------------------------------------------------
+# B19 pandas UDF (Arrow-vectorized — the sanctioned Python escape
+# hatch; a row-at-a-time Python UDF here would be ~10-100x slower).
+# The arithmetic is integer-exact so the SQL oracle still applies.
+# --------------------------------------------------------------------
+@query(
+    "q_udf",
+    oracle="""
+    SELECT doc_id, (n_chars * 31 + doc_id * 7) % 97 AS score
+    FROM documents
+    """,
+)
+def q_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    # Annotations are assigned as live objects: `from __future__ import
+    # annotations` stringifies inline hints, which pandas_udf rejects.
+    def _score(n_chars, doc_id):
+        return (n_chars * 31 + doc_id * 7) % 97
+
+    _score.__annotations__ = {
+        "n_chars": pd.Series, "doc_id": pd.Series, "return": pd.Series
+    }
+    score = pandas_udf(_score, "long")
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", score("n_chars", "doc_id").alias("score"))

@@ -1,0 +1,83 @@
+"""Physical-plan shape assertions — the 100 TB design review as tests.
+
+Correct rows are necessary but not sufficient: these tests pin the
+*plan* properties that decide whether a query survives a 1000-executor
+scale-up (predicate pushdown, column pruning, broadcast joins, bounded
+top-k, Arrow-vectorized Python)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_airflow_docker_spark.plans import QUERIES
+
+
+def explain(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_pushes_filter_and_partial_agg(spark, sf_dir):
+    plan = explain(spark, sf_dir, "q_agg_group")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # partial + final aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+    # whole-stage codegen covers the scan->partial-agg pipeline
+    df = QUERIES["q_agg_group"](spark, sf_dir)
+    codegen = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in codegen
+
+
+def test_filter_pred_pushdown_and_column_pruning(spark, sf_dir):
+    plan = explain(spark, sf_dir, "q_filter_pred")
+    assert "PushedFilters:" in plan and "l_shipdate" in plan
+    # projection prunes to the 6 referenced columns — l_tax and
+    # l_returnflag etc. must not be read into the scan schema beyond
+    # what predicates/projection need.
+    readschema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_tax" not in readschema and "l_partkey" not in readschema
+
+
+def test_join_inner_broadcasts_nation(spark, sf_dir):
+    plan = explain(spark, sf_dir, "q_join_inner")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_bounded_take_ordered(spark, sf_dir):
+    plan = explain(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in explain(spark, sf_dir, "q_join_semi")
+    assert "LeftAnti" in explain(spark, sf_dir, "q_join_anti")
+
+
+def test_udf_is_arrow_vectorized(spark, sf_dir):
+    plan = explain(spark, sf_dir, "q_udf")
+    assert "ArrowEvalPython" in plan, "pandas UDF must run Arrow-vectorized"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in hot path"
+
+
+def test_approx_distinct_is_single_pass(spark, sf_dir):
+    # HLL sketch: one shuffle (no distinct expand), bounded error.
+    df = QUERIES["q_agg_approx_distinct"](spark, sf_dir)
+    exact = {
+        r.l_returnflag: r.n_parts
+        for r in QUERIES["q_agg_distinct"](spark, sf_dir).collect()
+    }
+    for row in df.collect():
+        est, act = row.approx_parts, exact[row.l_returnflag]
+        assert abs(est - act) / act < 0.1, f"HLL estimate off >10%: {est} vs {act}"
+
+
+@pytest.mark.parametrize("name", ["q_join_asof"])
+def test_asof_single_shuffle(spark, sf_dir, name):
+    # The as-of recipe must be one window pass — no nested-loop join.
+    plan = explain(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
