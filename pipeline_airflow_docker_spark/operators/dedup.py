@@ -1,0 +1,194 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2 Part C / BASELINE north star).
+
+Reference parity: the reference's only dedup is the keyed Mongo upsert
+(dags/kafka_to_mongo_pipeline_enchanced.py:141-145 — last-writer-wins
+by ``id``); these operators generalize that to content-level exact and
+near-duplicate removal at corpus scale.
+
+Scale design: every near-dup path here is *blocked* — candidates come
+from an equality join on a short key (minhash band, simhash value,
+sign-bucket), so the shuffle is keyed and linear-ish in corpus size;
+the O(n^2) verify step only runs within tiny candidate buckets. That
+is the shape that survives 100 TB; a plain self-join does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.functions.text import (
+    band_keys,
+    jaccard,
+    minhash_signature,
+    shingles,
+    simhash32,
+    tokens,
+)
+from pipeline_airflow_docker_spark.functions.vectors import cosine, sign_bucket
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order: list[Column] | None = None) -> DataFrame:
+    """Keep one deterministic representative row per key group.
+
+    ``dropDuplicates`` keeps an *arbitrary* row (first seen per
+    partition) — not reproducible across runs/cluster sizes. This
+    variant keeps the first row under an explicit total order; one
+    shuffle on the keys."""
+    if order is None:
+        order = [F.col(c) for c in df.columns if c not in keys][:1] or [F.col(keys[0])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (id_a < id_b, jacc >= t).
+
+    Quadratic within a block — the correctness baseline the LSH path
+    (minhash_dup_pairs) is measured against. ``block_col`` bounds the
+    self-join; at scale always block (or use minhash)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
+        F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jaccard(F.col("a.sh"), F.col("b.sh")).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle -> minhash signature -> band
+    keys -> candidate pairs via band-equality join -> exact-Jaccard
+    verify. The only join is an equi-join on (band, key): the classic
+    linear-shuffle LSH plan. P(candidate) = 1-(1-j^r)^b with r=2,b=4:
+    j=0.8 -> 0.97, j=0.3 -> 0.31."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
+    )
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    bands = sig.select(
+        "id",
+        "sh",
+        F.posexplode(band_keys(F.col("sig"), n_bands, n_hashes // n_bands)).alias(
+            "band", "bkey"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc")
+    ).filter(F.col("jacc") >= threshold)
+
+
+def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document 32-bit SimHash (near-dup docs land within small
+    Hamming distance; equal hashes are the degenerate block key)."""
+    return df.select(
+        F.col(id_col).alias("id"), simhash32(tokens(text_col)).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs blocked by hash *halves*: a pair within
+    Hamming distance d<=3 of a 32-bit hash matches exactly on at least
+    one 16-bit half (pigeonhole), so candidates come from two equality
+    joins instead of a cross join."""
+    sh = simhash_docs(df, id_col, text_col)
+    sh = sh.select(
+        "id",
+        "simhash",
+        (F.col("simhash") % 65536).alias("lo"),
+        F.floor(F.col("simhash") / 65536).cast("long").alias("hi"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cand = (
+        a.join(
+            b,
+            ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    bucketed: bool = True,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. ``bucketed=True`` blocks the
+    self-join on a sign-pattern bucket (LSH-style; misses pairs
+    straddling a hyperplane — recall/cost knob via ``n_bits``);
+    ``False`` is the exact quadratic baseline."""
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if bucketed:
+        e = e.withColumn("bkt", sign_bucket(F.col("v"), n_bits))
+    a, b = e.alias("a"), e.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucketed:
+        cond = cond & (F.col("a.bkt") == F.col("b.bkt"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

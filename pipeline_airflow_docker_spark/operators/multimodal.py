@@ -1,0 +1,93 @@
+"""Multimodal (image/audio/video) column plumbing
+(SURVEY.md §2 Part C.5).
+
+Design: media lives in opaque ``binary`` columns with a typed metadata
+struct alongside (mime, n_bytes, sha256). Decode / feature-extraction
+runs as Arrow-batched ``mapInPandas`` — the Spark-side contract
+(schema, batch shape, partitioning) is real and tested; the actual
+codec call is stubbed (``NotImplementedError``) because image/audio
+libraries are not in this environment, with a deterministic fake
+implementation for tests, per the build brief.
+
+At scale the binary column rides the same parquet/shuffle machinery as
+any other column; `spark.read.format("binaryFile")` or parquet with a
+binary field are the ingestion paths. Keep media rows under the
+parquet row-group target by storing large blobs chunked or by
+reference (URI column) — metadata stays queryable either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, mime STRING, n_bytes INT, mean_byte DOUBLE, feature ARRAY<DOUBLE>"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", mime: str = "text/plain"
+) -> DataFrame:
+    """Opaque binary content column + typed metadata struct. (Test
+    tables carry no real media; UTF-8 text bytes stand in — the
+    plumbing is identical for image/audio bytes.)"""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        content.alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(content).alias("n_bytes"),
+            F.sha2(content, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def _decode_media(content: bytes, mime: str) -> Any:
+    """Real codec hook — image/audio libs are not available here."""
+    raise NotImplementedError(
+        f"no codec for {mime!r} in this environment; pass fake=True for the "
+        "deterministic test implementation"
+    )
+
+
+def extract_features(
+    df: DataFrame, n_features: int = 8, fake: bool = False
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary content.
+
+    ``mapInPandas`` so each task pulls whole Arrow batches (not rows)
+    into Python once; output schema is fixed so downstream plans stay
+    columnar. ``fake=True`` computes deterministic pseudo-features from
+    the raw bytes (mean byte value + byte-histogram buckets), which
+    exercises the full batch path end-to-end."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not fake:
+                _decode_media(pdf["content"].iloc[0], pdf["meta"].iloc[0]["mime"])
+            rows = []
+            for _, r in pdf.iterrows():
+                data = bytes(r["content"])
+                hist = [0] * n_features
+                for byte in data:
+                    hist[byte % n_features] += 1
+                total = len(data) or 1
+                rows.append(
+                    {
+                        "doc_id": r["doc_id"],
+                        "mime": r["meta"]["mime"],
+                        "n_bytes": len(data),
+                        "mean_byte": sum(data) / total,
+                        "feature": [h / total for h in hist],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)

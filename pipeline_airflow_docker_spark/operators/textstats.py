@@ -1,0 +1,112 @@
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2 Part C): token statistics, quality scoring, language ID,
+token counting, document fingerprinting.
+
+All JVM built-ins / higher-order functions — no Python in the hot
+path; every expression is written to be bit-reproducible against the
+DuckDB oracle (integer counts; double math only as single divisions /
+fixed-shape combinations of identical operands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.functions.text import (
+    count_in,
+    seeded_md5,
+    shingles,
+    tokens,
+)
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "an", "of", "and", "to", "in", "is", "it")
+
+# Marker words per language for the n-gram/stopword-overlap heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "is", "to", "it"),
+    "es": ("el", "los", "las", "y", "es", "un", "una"),
+    "fr": ("le", "les", "des", "et", "est", "une", "du"),
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single punctuation.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document statistics: token count, distinct-token count,
+    type/token ratio, mean token length, stopword ratio."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("ttr"),
+        (sum_len.cast("double") / n_tok).alias("avg_token_len"),
+        (count_in(toks, STOPWORDS).cast("double") / n_tok).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation, lexical
+    diversity, non-stopword density. Fixed left-associative expression
+    so the float result reproduces anywhere."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    stop = count_in(toks, STOPWORDS).cast("double") / n_tok
+    len_sat = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = F.lit(0.4) * len_sat + F.lit(0.3) * ttr + F.lit(0.3) * (F.lit(1.0) - stop)
+    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID. Scores each language by marker-token
+    hits; argmax with ties broken by language code order; 'und' when
+    nothing matches."""
+    toks = tokens(text_col)
+    scores = {lang: count_in(toks, words) for lang, words in sorted(LANG_MARKERS.items())}
+    langs = list(scores)
+    best: Column = F.lit("und")
+    best_score: Column = F.lit(0)
+    # Left-to-right: earlier (alphabetically smaller) lang wins ties.
+    for lang in langs:
+        take = scores[lang] > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, scores[lang]).otherwise(best_score)
+    return df.select(
+        F.col(id_col),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        best.alias("pred_lang"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish-regex token counts + a bytes-per-token
+    cost estimate (the unit LLM data budgets are planned in)."""
+    n_ws = F.size(tokens(text_col))
+    n_bpe = F.size(F.regexp_extract_all(text_col, F.lit(BPE_PATTERN), 0))
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_tokens_ws"),
+        n_bpe.alias("n_tokens_bpe"),
+        (F.octet_length(text_col).cast("double") / n_bpe).alias("bytes_per_token"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Document fingerprints: full-content md5 plus a winnowing-style
+    rolling fingerprint (minimum hash over ``window``-token shingles) —
+    stable under small edits away from the minimizing window."""
+    sh = shingles(tokens(text_col), window)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_fp"),
+        F.array_min(F.transform(sh, lambda s: seeded_md5(s, 0))).alias("rolling_fp"),
+    )

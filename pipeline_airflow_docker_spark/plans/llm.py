@@ -1,4 +1,376 @@
-"""LLM-data-pipeline operators (SURVEY.md §2 Part C) as qkeys.
+"""LLM-data-pipeline qkeys (SURVEY.md §2 Part C): dedup, similarity
+search, text analysis, multimodal plumbing over the ``documents`` and
+``embeddings`` tables.
 
-Populated in Phase 4.
+Cross-engine determinism strategy (see functions/text.py,
+functions/vectors.py): md5 hex as the hash primitive, sequential
+higher-order-function folds for float math — the DuckDB oracle
+computes bit-identical values, so even MinHash LSH and SimHash are
+hash-checked rather than rows-only.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.operators.dedup import (
+    embedding_dup_pairs,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_docs,
+)
+from pipeline_airflow_docker_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from pipeline_airflow_docker_spark.operators.similarity import (
+    knn_cosine,
+    knn_cosine_bucketed,
+)
+from pipeline_airflow_docker_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_counts,
+)
+from pipeline_airflow_docker_spark.plans.registry import query
+
+# DuckDB fragments mirroring functions/text.py exactly.
+_DD_TOKS = "string_split(text, ' ') AS toks"
+_DD_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1), "
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh"
+)
+# Sequential-fold dot product of two float lists, in double.
+_DD_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), "
+    "p -> p[1]::DOUBLE * p[2]::DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _dd_cos(a: str, b: str) -> str:
+    return (
+        f"{_DD_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DD_DOT.format(a=a, b=a)}) * sqrt({_DD_DOT.format(a=b, b=b)}))"
+    )
+
+
+# --------------------------------------------------------------------
+# C1 exact dedup. The tables carry no planted *exact* dups, so the
+# operator's grouped form (representative + multiplicity per text) is
+# the checkable output; dedup_exact() is the row-preserving library op.
+# --------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies, text
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_doc_id", "n_copies", "text")
+
+
+# --------------------------------------------------------------------
+# C2a exact n-gram-Jaccard near-dup pairs — the quadratic baseline the
+# LSH path is measured against (blocked on lang here to bound it).
+# --------------------------------------------------------------------
+@query(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, {_DD_SHINGLES3}
+      FROM (SELECT doc_id, lang, {_DD_TOKS} FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(a.sh || b.sh)) AS jacc
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / len(list_distinct(a.sh || b.sh)) >= 0.8
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.8, block_col="lang")
+
+
+# --------------------------------------------------------------------
+# C2b MinHash + LSH near-dup pairs, fully oracle-checked: signature =
+# per-seed min of seeded md5 over the shingle set; candidates from a
+# band-key equi-join; exact-Jaccard verify. Identical math in DuckDB.
+# --------------------------------------------------------------------
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DD_TOKS} FROM documents),
+    s AS (SELECT doc_id, {_DD_SHINGLES3} FROM tok),
+    sig AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 8), i ->
+               list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS mh
+      FROM s
+    ),
+    bands AS (
+      SELECT doc_id, sh, j,
+             mh[2*j + 1] || mh[2*j + 2] AS bkey
+      FROM sig, generate_series(0, 3) t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(x.sh, y.sh))::DOUBLE
+             / len(list_distinct(x.sh || y.sh)) AS jacc
+    FROM cand JOIN s x ON cand.id_a = x.doc_id
+              JOIN s y ON cand.id_b = y.doc_id
+    WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+            / len(list_distinct(x.sh || y.sh)) >= 0.8
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return minhash_dup_pairs(d, "doc_id", "text", n=3, n_hashes=8, n_bands=4, threshold=0.8)
+
+
+# --------------------------------------------------------------------
+# C2c per-document 32-bit SimHash (bit-majority over md5 token
+# hashes) — same value computed by the DuckDB oracle.
+# --------------------------------------------------------------------
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    SELECT doc_id,
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(0, 32), b ->
+          CASE WHEN list_reduce(list_prepend(0::BIGINT,
+            list_transform(toks, tok ->
+              CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), 1 + b // 4, 1)) - 1)
+                        // CAST(pow(2, 3 - b % 4) AS BIGINT) % 2 = 1
+                   THEN 1 ELSE -1 END)), (a, x) -> a + x) > 0
+          THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)), (a, x) -> a + x) AS simhash
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return simhash_docs(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+# --------------------------------------------------------------------
+# C2d embedding-cosine near-dup pairs, exact quadratic form (the
+# oracle-checkable baseline; the bucketed scale path is q_knn_lsh's
+# machinery). Threshold 0.35 exercises real pairs in this corpus
+# (max planted cosine ~0.51).
+# --------------------------------------------------------------------
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_dd_cos('a.embedding', 'b.embedding')} AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_dd_cos('a.embedding', 'b.embedding')} >= 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(e, "vec_id", "embedding", threshold=0.35, bucketed=False)
+
+
+# --------------------------------------------------------------------
+# C3 similarity search: exact brute-force cosine top-k for a query
+# subset (broadcast queries — corpus never shuffles), oracle-checked;
+# plus the sign-bucketed LSH variant, also oracle-checked since the
+# bucketing is deterministic.
+# --------------------------------------------------------------------
+@query(
+    "q_knn_cosine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_dd_cos('q.qv', 'c.embedding')} AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return knn_cosine(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+_DD_BUCKET = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 4), i -> "
+    "CASE WHEN {v}[i + 1]::DOUBLE > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)), "
+    "(a, x) -> a + x)"
+)
+
+
+@query(
+    "q_knn_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_DD_BUCKET.format(v='embedding')} AS bkt
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_dd_cos('q.qv', 'c.embedding')} AS cos
+      FROM q JOIN e c ON q.bkt = c.bkt AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return knn_cosine_bucketed(e.filter(F.col("vec_id") < 10), e, k=3, n_bits=4)
+
+
+# --------------------------------------------------------------------
+# C4 text analysis: stats, quality score, language ID, token counting,
+# fingerprints.
+# --------------------------------------------------------------------
+_DD_STOP = "('the','a','an','of','and','to','in','is','it')"
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_m,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_types,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS ttr,
+           list_reduce(list_prepend(0, list_transform(toks, t -> length(t)::INT)),
+                       (a, x) -> a + x)::DOUBLE / len(toks) AS avg_token_len,
+           len(list_filter(toks, t -> t IN {_DD_STOP}))::DOUBLE / len(toks) AS stopword_ratio
+    FROM (SELECT doc_id, text, {_DD_TOKS} FROM documents)
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_stats(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+                 + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                 + 0.3 * (1.0 - len(list_filter(toks, t -> t IN {_DD_STOP}))::DOUBLE / len(toks)),
+                 6) AS quality
+    FROM (SELECT doc_id, {_DD_TOKS} FROM documents)
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+        len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS score_de,
+        len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','it'))) AS score_en,
+        len(list_filter(toks, t -> t IN ('el','los','las','y','es','un','una'))) AS score_es,
+        len(list_filter(toks, t -> t IN ('le','les','des','et','est','une','du'))) AS score_fr
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
+           CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
+           CASE
+             WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
+             WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+             WHEN score_es >= score_fr THEN 'es'
+             ELSE 'fr'
+           END AS pred_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_tokens_bpe,
+           octet_length(encode(text))::DOUBLE
+             / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bytes_per_token
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_fp,
+           list_min(list_transform(
+             list_transform(range(1, greatest(len(toks)-7, 1)+1),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                              toks[i+4], toks[i+5], toks[i+6], toks[i+7])),
+             s -> md5('0:' || s))) AS rolling_fp
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(table(spark, sf_dir, "documents"), window=8)
+
+
+# --------------------------------------------------------------------
+# C5 multimodal: binary payload + typed metadata (oracle-checked), and
+# the Arrow-batched mapInPandas feature path (rows-only: Python fake
+# decode has no SQL equivalent).
+# --------------------------------------------------------------------
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = attach_binary_payload(d)
+    return b.select(
+        "doc_id", F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"), F.col("meta.sha256").alias("sha256"),
+    )
+
+
+@query("q_multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(d), n_features=8, fake=True)

@@ -1,0 +1,124 @@
+"""Semantics tests for the LLM-data operators (dedup / similarity /
+text analysis / multimodal) beyond the DuckDB hash parity the driver
+checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from pipeline_airflow_docker_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from pipeline_airflow_docker_spark.operators.similarity import knn_cosine
+from pipeline_airflow_docker_spark.operators.textstats import lang_id
+
+
+def test_minhash_recall_vs_exact(spark, sf_dir):
+    """LSH candidates must recover every exact-Jaccard pair >= 0.9
+    (band collision probability at j=0.9 is ~0.996^)."""
+    d = table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.9).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_dup_pairs(d, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_near_identical_docs_have_low_hamming(spark, sf_dir):
+    """Recall direction: docs with Jaccard >= 0.95 must land within
+    small SimHash Hamming distance. (Precision is weak by construction
+    on this synthetic corpus — all docs share one tiny vocabulary, so
+    unrelated token-soup docs can also collide; that is a property of
+    the data, not the operator.)"""
+    d = table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.95).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    found = {
+        (r.id_a, r.id_b)
+        for r in simhash_dup_pairs(d, "doc_id", "text", max_hamming=6).collect()
+    }
+    missed = exact - found
+    assert len(missed) <= max(1, len(exact) // 5), f"simhash missed: {missed}"
+
+
+def test_dedup_exact_is_deterministic_keep_first(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "x"), (7, "y")], "id LONG, text STRING"
+    )
+    out = dedup_exact(df, ["text"], order=[F.col("id")]).collect()
+    assert {(r.id, r.text) for r in out} == {(1, "x"), (7, "y")}
+
+
+def test_knn_excludes_self_and_returns_k(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    out = knn_cosine(e.filter(F.col("vec_id") < 5), e, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        assert -1.0001 <= r.cos <= 1.0001
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 5 for v in by_q.values())
+    for rows in by_q.values():
+        ranked = sorted(rows, key=lambda r: r.rank)
+        coss = [r.cos for r in ranked]
+        assert coss == sorted(coss, reverse=True)
+
+
+def test_embedding_dup_bucketed_subset_of_exact(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(e, "vec_id", "embedding", 0.3, bucketed=False).collect()
+    }
+    buck = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(e, "vec_id", "embedding", 0.3, bucketed=True).collect()
+    }
+    assert buck <= exact  # bucketing may miss pairs, never invent them
+
+
+def test_multimodal_real_decode_raises(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(2)
+    feats = extract_features(attach_binary_payload(d), fake=False)
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        feats.collect()
+
+
+def test_multimodal_fake_features_deterministic(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(20)
+    out = extract_features(attach_binary_payload(d), n_features=8, fake=True)
+    rows = {r.doc_id: r for r in out.collect()}
+    again = {r.doc_id: r for r in out.collect()}
+    assert rows.keys() == again.keys()
+    for k in rows:
+        assert rows[k].feature == again[k].feature
+        assert abs(sum(rows[k].feature) - 1.0) < 1e-9
+        assert rows[k].n_bytes > 0
+
+
+def test_lang_id_schema_and_fallback(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der hund und die katze"), (3, "zzz qqq")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
