@@ -1,4 +1,180 @@
-"""Streaming qkeys (SURVEY.md §2 streaming closure).
+"""Streaming qkeys (SURVEY.md §2 streaming closure) — each runs a real
+Structured Streaming query (readStream file source standing in for the
+reference's Kafka topics) bounded by Trigger.AvailableNow, and is
+graded against a batch-SQL oracle: the unified-semantics guarantee
+makes streaming-vs-batch equality a meaningful correctness check.
 
-Populated in Phase 3.
+DuckDB oracle notes: Spark's F.window starts are epoch-aligned
+multiples of the slide — date_trunc/make_timestamp arithmetic
+reproduces them; session windows are gaps-and-islands in SQL.
 """
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.plans.registry import query
+from pipeline_airflow_docker_spark.streaming.runner import run_to_df
+from pipeline_airflow_docker_spark.streaming.sinks import (
+    latest_by_key,
+    upsert_foreach_batch,
+)
+from pipeline_airflow_docker_spark.streaming.sources import stream_table
+from pipeline_airflow_docker_spark.streaming.windows import (
+    dedup_by_key,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_DSUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
+
+
+# --------------------------------------------------------------------
+# Tumbling windows (generalizes the reference's per-batch counters,
+# S7/G5) — streaming run, batch oracle.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_DSUM_VALUE}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
+    return run_to_df(tumbling_counts(ev, "1 hour"), output_mode="complete")
+
+
+# --------------------------------------------------------------------
+# Sliding windows: every event belongs to exactly window/slide = 2
+# windows; the oracle replays that membership with a 2-row series.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT time_bucket(INTERVAL 30 MINUTE, ts) - i * INTERVAL 30 MINUTE
+             AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM events, generate_series(0, 1) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
+    return run_to_df(
+        sliding_counts(ev, "1 hour", "30 minutes"), output_mode="complete"
+    )
+
+
+# --------------------------------------------------------------------
+# Session windows (gap 10 min) per user — stateful merge; the oracle
+# is the classic gaps-and-islands rewrite. session_end = last + gap.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_session",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 10 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           user_id, COUNT(*) AS n_events, {_DSUM_VALUE}
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
+    return run_to_df(session_counts(ev, "10 minutes"), output_mode="complete")
+
+
+# --------------------------------------------------------------------
+# Stateful dedup: the source is doubled (union with itself — modeling
+# at-least-once redelivery), dropDuplicatesWithinWatermark restores
+# exactly-once. Oracle: the original rows.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_dedup",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
+    redelivered = ev.unionByName(ev)
+    return run_to_df(
+        dedup_by_key(redelivered, ["event_id"]), output_mode="append"
+    )
+
+
+# --------------------------------------------------------------------
+# K3 keyed upsert [ref dags/kafka_to_mongo_pipeline_enchanced.py:
+# 141-145]: streaming foreachBatch merge, latest (ts, event_id) wins
+# per (user_id, event_type). Runs as TWO micro-batches
+# (maxFilesPerTrigger=1 over a 2-file stage) so the merge genuinely
+# crosses batch boundaries; the result is batch-order-independent.
+# --------------------------------------------------------------------
+@query(
+    "q_upsert_latest",
+    oracle="""
+    SELECT user_id, event_type, ts, event_id, value FROM (
+      SELECT user_id, event_type, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    target = os.path.join(tempfile.mkdtemp(prefix="padspark_upsert_"), "state")
+    run_to_df(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        output_mode="append",
+        foreach_batch=upsert_foreach_batch(
+            target, keys=["user_id", "event_type"], version_cols=["ts", "event_id"]
+        ),
+    )
+    return spark.read.parquet(target)
+
+
+# --------------------------------------------------------------------
+# Stream-static join (P5 enrich generalized): the unbounded stream
+# joins a static broadcast dimension per micro-batch — no state needed.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_static_join",
+    oracle="""
+    SELECT e.event_type, n.n_name AS region_name, COUNT(*) AS n_events
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY e.event_type, n.n_name
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events")
+    dim = table(spark, sf_dir, "nation")
+    joined = ev.join(
+        F.broadcast(dim), ev.user_id % 25 == dim.n_nationkey
+    ).select("event_type", F.col("n_name").alias("region_name"))
+    agg = joined.groupBy("event_type", "region_name").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return run_to_df(agg, output_mode="complete")
+
+
+__all__ = ["latest_by_key"]

@@ -1,0 +1,102 @@
+"""Stateful windowed aggregation builders (streaming closure of the
+reference's per-message processing loops).
+
+Each builder takes an *unbounded* DataFrame and returns the windowed
+aggregation plan; ``runner.run_to_df`` executes it bounded. The same
+builder applied to a batch DataFrame produces the batch-equivalent
+result — Structured Streaming's unified semantics, pinned by
+tests/test_streaming.py.
+
+Scale: windowed aggregation state lives in the state store — RocksDB
+in production (session.RUNTIME_CONF leaves the default HDFS-backed
+store for local runs; set
+``spark.sql.streaming.stateStore.providerClass`` to RocksDB at 100 TB
+state). Watermarks bound state size: state for windows older than
+(max event time - delay) is evicted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.functions import dsum
+
+# Far larger than the test data's time span: nothing is ever late, so
+# bounded replays are deterministic regardless of file/batch order.
+# Production tunes this to the real out-of-orderness (e.g. "10
+# minutes") — the correctness/state-size tradeoff watermarks exist for.
+DETERMINISTIC_DELAY = "3650 days"
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    delay: str = DETERMINISTIC_DELAY,
+) -> DataFrame:
+    """Per (tumbling window, event_type): event count + exact value
+    sum. Partial aggregation happens per micro-batch; state holds one
+    row per open window."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    delay: str = DETERMINISTIC_DELAY,
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide windows (2
+    here). State cost scales with that multiplicity — prefer tumbling +
+    downstream rollup when the consumer can merge."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    delay: str = DETERMINISTIC_DELAY,
+) -> DataFrame:
+    """Per-user session windows (gap-based): sessions merge as events
+    arrive — genuinely stateful, no batch window-function equivalent
+    per micro-batch. session_window.end = last event + gap."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_by_key(
+    events: DataFrame, keys: list[str], delay: str = DETERMINISTIC_DELAY
+) -> DataFrame:
+    """Stateful streaming dedup: first arrival per key wins; state for
+    keys older than the watermark is evicted
+    (dropDuplicatesWithinWatermark — without the watermark bound, dedup
+    state grows without limit)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,95 @@
+"""Streaming semantics tests: batch-equivalence (unified semantics),
+multi-batch state, and idempotent upsert (K3)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.streaming.runner import run_to_df
+from pipeline_airflow_docker_spark.streaming.sinks import (
+    latest_by_key,
+    upsert_foreach_batch,
+)
+from pipeline_airflow_docker_spark.streaming.sources import stream_table
+from pipeline_airflow_docker_spark.streaming.windows import (
+    session_counts,
+    tumbling_counts,
+)
+
+
+def _rows(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    """The same builder over readStream and over a batch scan must
+    produce identical results (Structured Streaming unified
+    semantics)."""
+    stream_out = run_to_df(
+        tumbling_counts(stream_table(spark, sf_dir, "events")), "complete"
+    )
+    batch_out = tumbling_counts(table(spark, sf_dir, "events"))
+    assert _rows(stream_out) == _rows(batch_out)
+
+
+def test_session_multibatch_state_merges(spark, sf_dir):
+    """Session state must merge across micro-batches: a 4-batch run
+    equals the single-batch run."""
+    one = run_to_df(
+        session_counts(stream_table(spark, sf_dir, "events")), "complete"
+    )
+    many = run_to_df(
+        session_counts(
+            stream_table(spark, sf_dir, "events", n_files=4, max_files_per_trigger=1)
+        ),
+        "complete",
+    )
+    assert _rows(one) == _rows(many)
+
+
+def test_upsert_idempotent_and_batch_order_independent(spark, sf_dir):
+    """Replaying the whole stream into an existing upsert target must
+    not change it (idempotence — what makes at-least-once delivery
+    effectively exactly-once, the K3 semantic)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="upsert_test_"), "state")
+    fb = upsert_foreach_batch(target, ["user_id", "event_type"], ["ts", "event_id"])
+    fb(ev, 0)
+    first = _rows(spark.read.parquet(target))
+    fb(ev, 1)  # full replay
+    assert _rows(spark.read.parquet(target)) == first
+    # and equals the batch keep-latest
+    expected = latest_by_key(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    assert first == _rows(expected)
+
+
+def test_upsert_later_version_wins(spark):
+    df1 = spark.createDataFrame(
+        [(1, "a", 10, 100.0)], "k LONG, g STRING, v LONG, val DOUBLE"
+    )
+    df2 = spark.createDataFrame(
+        [(1, "a", 5, 999.0), (1, "a", 20, 42.0)],
+        "k LONG, g STRING, v LONG, val DOUBLE",
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="upsert_test2_"), "state")
+    fb = upsert_foreach_batch(target, ["k", "g"], ["v"])
+    fb(df1, 0)
+    fb(df2, 1)
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 1 and rows[0].v == 20 and rows[0].val == 42.0
+
+
+def test_stream_dedup_removes_redelivery(spark, sf_dir):
+    from pipeline_airflow_docker_spark.streaming.windows import dedup_by_key
+
+    ev = stream_table(spark, sf_dir, "events")
+    out = run_to_df(dedup_by_key(ev.unionByName(ev), ["event_id"]), "append")
+    n = table(spark, sf_dir, "events").count()
+    assert out.count() == n
+    assert out.select("event_id").distinct().count() == n
