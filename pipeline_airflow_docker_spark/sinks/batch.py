@@ -1,0 +1,131 @@
+"""File / JDBC / Kafka-shape batch sinks (K1, K2, K4-K7).
+
+Design rule carried through every sink: **no per-record RPC** — the
+reference does one synchronous ``insert_one`` per message
+(SURVEY.md §4.1), which is the single worst scaling behavior in it.
+Every sink here writes whole partitions in bulk from executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """K1: CSV write [ref dags/etl_data_pipeline.py:24
+    ``to_csv(path, index=False)``]. Spark never writes an index column,
+    so ``index=False`` parity is automatic. One file per partition —
+    at scale that is the point; for tiny compat fixtures callers may
+    ``coalesce(1)`` first."""
+    df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_json_records(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K2: JSON write [ref dags/etl_data_pipeline_mongodb.py:24
+    ``to_json(orient="records")``]. Spark-native form is JSONL (one
+    object per line), which ``sources.read_json_records`` and every
+    JSONL consumer accept; the reference's array-wrapper framing is a
+    serialization detail, not a data-model difference."""
+    df.write.mode(mode).json(path)
+
+
+def append_documents(df: DataFrame, path: str) -> None:
+    """K4/K5: document append [ref consumer.py:25 ``insert_one`` per
+    message; dags/etl_data_pipeline_mongodb.py:38 ``insert_many``].
+
+    Engine-side form: bulk append of the full frame to a collection
+    path (Parquet here; with the MongoDB Spark connector deployed this
+    becomes ``df.write.format("mongodb").mode("append")`` — identical
+    call shape, still bulk-per-partition, never per-record).
+    """
+    df.write.mode("append").parquet(path)
+
+
+def write_jdbc_replace(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """K6: JDBC table replace [ref dags/etl_data_pipeline.py:32-34
+    ``to_sql(..., if_exists="replace")``].
+
+    ``mode("overwrite")`` == drop-and-recreate, the reference's
+    ``if_exists="replace"``. Executors write concurrent batched
+    inserts (``batchsize`` rows per round-trip); a driver jar for the
+    target database must be on the classpath (none is bundled in this
+    container — exercised in tests via the option-plumbing path).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def kafka_payload(df: DataFrame, key_cols: Sequence[str] = ()) -> DataFrame:
+    """K7 (shape): rows -> Kafka-ready ``(key, value)`` frame.
+
+    ``value`` is the JSON serialization of the whole row — the
+    reference's per-record ``json.dumps`` serializer lambda
+    [ref producer.py:8] done JVM-side in one expression
+    (``to_json(struct(*))``), so it rides whole-stage codegen instead
+    of a Python loop. ``key_cols`` concat to the message key for
+    partition-by-key ordering (the reference sends unkeyed messages —
+    single-partition topics don't survive scale).
+    """
+    value = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    if key_cols:
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]).alias("key")
+        return df.select(key, value)
+    return df.select(value)
+
+
+def write_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    key_cols: Sequence[str] = (),
+) -> None:
+    """K7: Kafka sink [ref producer.py:23-26 ``producer.send`` +
+    ``flush``]. Batch write of the payload frame; delivery is
+    per-partition bulk via the Kafka producer in each executor (the
+    ``flush()`` semantics are the sink's successful completion)."""
+    (
+        kafka_payload(df, key_cols)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    max_records_per_file: int = 5_000_000,
+) -> None:
+    """Phase-5 layout sink: partitioned columnar table.
+
+    This is what makes partition pruning possible downstream (events
+    by day, lineitem by ship-month — SURVEY.md §4.2). The reference
+    has no layout concept at all. ``maxRecordsPerFile`` bounds file
+    size so a skewed partition value cannot produce one giant file.
+    """
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

@@ -1,0 +1,154 @@
+"""File / API batch sources (S1-S4).
+
+The reference spools everything through ``/tmp`` files and re-parses at
+every stage (SURVEY.md §4.1 "Pipelining: none"). Here a source returns a
+lazy DataFrame once and the whole downstream pipeline stays one Catalyst
+plan — no intermediate materialization.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def fetch_url_to_staging(
+    url: str,
+    dest_path: str,
+    timeout: float = 10.0,
+    max_retries: int = 3,
+    opener: Callable[[str, float], bytes] | None = None,
+) -> str:
+    """S1: GET ``url`` and spool the body to ``dest_path``.
+
+    Reference shape: ``requests.get`` then write to ``/tmp/data.csv``
+    [ref dags/etl_data_pipeline.py:9-14], with the enhanced DAG's
+    retry loop [ref dags/kafka_to_mongo_pipeline_enchanced.py:44-63]
+    (3 attempts, 10 s timeout) folded in.
+
+    This is a driver/edge-side helper by design: HTTP fetch of a single
+    small file does not parallelize. At scale the staging area is object
+    storage and this step is owned by the orchestration layer; the
+    engine starts at ``read_csv``/``read_json_records`` over staging.
+
+    ``opener`` injects the transport (tests pass a fake; default is
+    urllib so the engine has zero hard deps beyond pyspark).
+    """
+    if opener is None:
+        def opener(u: str, t: float) -> bytes:  # pragma: no cover - network
+            import urllib.request
+
+            with urllib.request.urlopen(u, timeout=t) as resp:
+                if getattr(resp, "status", 200) >= 400:
+                    raise OSError(f"HTTP {resp.status} for {u}")
+                return resp.read()
+
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        try:
+            body = opener(url, timeout)
+            break
+        except Exception as exc:  # retry transient fetch failures
+            last_err = exc
+    else:
+        raise OSError(f"fetch failed after {max_retries} attempts: {url}") from last_err
+    with open(dest_path, "wb") as fh:
+        fh.write(body)
+    return dest_path
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S2: CSV scan [ref dags/etl_data_pipeline.py:18 ``pd.read_csv``].
+
+    Schema-first by default; ``schema=None`` falls back to the
+    reference's inference behavior (``inferSchema`` is an extra full
+    pass over the data — acceptable compat mode, wrong default at
+    100 TB).
+    """
+    reader = spark.read.option("header", header)
+    if schema is None:
+        reader = reader.option("inferSchema", True)
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_json_records(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """S3: JSON scan [ref dags/etl_data_pipeline_mongodb.py:35
+    ``pd.read_json``].
+
+    Reads JSONL and also ``orient="records"`` array files (the
+    reference's format) via ``multiLine`` fallback when the eager
+    schema probe comes back corrupt. Bad records are quarantined in
+    ``_corrupt_record`` instead of crashing the job (the reference
+    crashes on the first malformed message — SURVEY.md §1.3).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    if "_corrupt_record" in df.columns and len(df.columns) == 1:
+        # Whole file parsed as corrupt => it is a JSON array document
+        # (pandas orient="records"), not JSONL: re-read multiLine.
+        reader = spark.read.option("multiLine", True)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(path)
+    return df
+
+
+def read_rest_json(
+    spark: SparkSession,
+    url: str,
+    schema: StructType | str,
+    fetch: Callable[[str], Sequence[dict[str, Any]]] | None = None,
+    timeout: float = 10.0,
+    max_retries: int = 3,
+) -> DataFrame:
+    """S4: REST JSON array-of-objects endpoint -> DataFrame.
+
+    Reference shape: ``requests.get(url).json()`` -> list[dict]
+    [ref producer.py:12-20; dags/kafka_to_mongo_pipeline.py:38-48],
+    with the retry variant's bounded attempts
+    [ref dags/kafka_to_mongo_pipeline_enchanced.py:44-63].
+
+    A REST page is driver-sized by definition (the reference's is 100
+    records), so ``createDataFrame`` is the honest mapping. For
+    *partitioned* API reads at scale the idiomatic Spark 4 path is a
+    Python Data Source (``pyspark.sql.datasource.DataSource``) that
+    splits the keyspace across executors — that variant only differs in
+    who calls ``fetch``, so it shares this signature.
+
+    ``schema`` is required: schema-on-read inference from a remote
+    payload is how the reference gets crash-on-bad-record behavior.
+    """
+    if fetch is None:
+        def fetch(u: str) -> Sequence[dict[str, Any]]:  # pragma: no cover - network
+            import urllib.request
+
+            with urllib.request.urlopen(u, timeout=timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+
+    last_err: Exception | None = None
+    for _ in range(max_retries):
+        try:
+            records = list(fetch(url))
+            break
+        except Exception as exc:
+            last_err = exc
+    else:
+        raise OSError(f"API fetch failed after {max_retries} attempts: {url}") from last_err
+    return spark.createDataFrame(records, schema=schema)

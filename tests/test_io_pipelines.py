@@ -1,0 +1,274 @@
+"""Batch sources/sinks (SURVEY.md §2 A.1/A.6) + reference-DAG replays.
+
+Fixture shapes come from FIXTURES.md §1 (posts / hw_200 / airtravel /
+grades / scraped), the reference's actual inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark import pipelines
+from pipeline_airflow_docker_spark.sinks import (
+    kafka_payload,
+    write_csv,
+    write_json_records,
+    write_parquet_partitioned,
+)
+from pipeline_airflow_docker_spark.sources import (
+    fetch_url_to_staging,
+    read_csv,
+    read_json_records,
+    read_rest_json,
+    scrape_records,
+)
+from pipeline_airflow_docker_spark.sources.scrape import parse_page
+
+POSTS_SCHEMA = "userId BIGINT, id BIGINT, title STRING, body STRING"
+
+# FIXTURES.md §1.1 — the jsonplaceholder /posts contract, with one
+# invalid record (missing body) for the validation filter.
+POSTS = [
+    {"userId": 1, "id": 1, "title": "alpha", "body": "first body"},
+    {"userId": 1, "id": 2, "title": "beta", "body": "second body"},
+    {"userId": 2, "id": 3, "title": "gamma", "body": None},
+]
+
+HTML_PAGE = """
+<html><body>
+  <h1> Main Title </h1>
+  <p>noise</p>
+  <h1>Second <b>Title</b></h1>
+  <a href="https://a.example/1">one</a>
+  <a name="anchor-no-href">skip me</a>
+  <a href="/rel/2">two</a>
+</body></html>
+"""
+
+
+@pytest.fixture(scope="module")
+def hw_csv(spark, tmp_path_factory) -> str:
+    """FIXTURES.md §1.2 hw_200 shape, with missing values for dropna."""
+    p = tmp_path_factory.mktemp("io") / "hw.csv"
+    p.write_text(
+        "Index,Height(Inches),Weight(Pounds)\n"
+        "1,65.78,112.99\n"
+        "2,71.52,\n"
+        "3,,102.09\n"
+        "4,68.22,142.34\n"
+    )
+    return str(p)
+
+
+def test_fetch_url_to_staging_retries(tmp_path):
+    calls = []
+
+    def flaky(url, timeout):
+        calls.append(url)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return b"Index,V\n1,2\n"
+
+    dest = str(tmp_path / "data.csv")
+    out = fetch_url_to_staging("http://x/data.csv", dest, opener=flaky)
+    assert out == dest and len(calls) == 3
+    assert open(dest).read().startswith("Index,V")
+
+    with pytest.raises(OSError, match="3 attempts"):
+        fetch_url_to_staging(
+            "http://x/y", dest, opener=lambda u, t: (_ for _ in ()).throw(OSError()),
+        )
+
+
+def test_csv_roundtrip_and_schema_first(spark, hw_csv, tmp_path):
+    inferred = read_csv(spark, hw_csv)
+    assert dict(inferred.dtypes)["Height(Inches)"] == "double"
+    typed = read_csv(spark, hw_csv, schema="`Index` INT, `Height(Inches)` DOUBLE, `Weight(Pounds)` DOUBLE")
+    assert typed.count() == 4
+
+    out = str(tmp_path / "csv_out")
+    write_csv(typed.coalesce(1), out)
+    back = read_csv(spark, out, schema="`Index` INT, `Height(Inches)` DOUBLE, `Weight(Pounds)` DOUBLE")
+    assert sorted(r["Index"] for r in back.collect()) == [1, 2, 3, 4]
+
+
+def test_json_records_reads_jsonl_and_array_files(spark, tmp_path):
+    jsonl = tmp_path / "recs.jsonl"
+    jsonl.write_text("\n".join(json.dumps(p) for p in POSTS))
+    array_file = tmp_path / "recs_array.json"  # pandas orient="records"
+    array_file.write_text(json.dumps(POSTS))
+
+    for path in (jsonl, array_file):
+        df = read_json_records(spark, str(path), schema=POSTS_SCHEMA)
+        assert df.count() == 3
+        assert {r["title"] for r in df.collect()} == {"alpha", "beta", "gamma"}
+
+    out = str(tmp_path / "json_out")
+    write_json_records(read_json_records(spark, str(jsonl), POSTS_SCHEMA), out)
+    assert read_json_records(spark, out, POSTS_SCHEMA).count() == 3
+
+
+def test_read_rest_json_with_injected_fetch(spark):
+    df = read_rest_json(spark, "http://api/posts", POSTS_SCHEMA, fetch=lambda u: POSTS)
+    assert df.count() == 3 and df.columns == ["userId", "id", "title", "body"]
+
+    attempts = []
+
+    def flaky(url):
+        attempts.append(1)
+        if len(attempts) < 2:
+            raise OSError("boom")
+        return POSTS
+
+    assert read_rest_json(spark, "http://api/posts", POSTS_SCHEMA, fetch=flaky).count() == 3
+
+
+def test_parse_page_matches_reference_shape():
+    recs = parse_page(HTML_PAGE)
+    # h1 text is stripped (ref :59) incl. nested tags; hrefs in order;
+    # anchor without href skipped; 1-based index per type (ref :58,65).
+    assert recs[:2] == [
+        {"type": "h1", "index": 1, "content": "Main Title"},
+        {"type": "h1", "index": 2, "content": "Second Title"},
+    ]
+    assert [r["content"] for r in recs if r["type"] == "link"] == [
+        "https://a.example/1", "/rel/2",
+    ]
+    # first-10-links cap (ref :65)
+    many = "".join(f'<a href="/l{i}">x</a>' for i in range(25))
+    assert sum(r["type"] == "link" for r in parse_page(many)) == 10
+    assert parse_page(None) == []
+
+
+def test_scrape_records_explodes_corpus(spark):
+    pages = spark.createDataFrame(
+        [("p1", HTML_PAGE), ("p2", "<h1>Solo</h1>"), ("p3", "<p>nothing</p>")],
+        "page_id STRING, html STRING",
+    )
+    out = scrape_records(pages).orderBy("page_id", "type", "index")
+    rows = out.collect()
+    assert out.columns == ["page_id", "type", "index", "content"]
+    assert len(rows) == 5  # p1: 2 h1 + 2 links, p2: 1 h1, p3: none
+    assert [r["content"] for r in rows if r["page_id"] == "p2"] == ["Solo"]
+
+
+def test_kafka_payload_roundtrip(spark):
+    df = spark.createDataFrame([Row(**p) for p in POSTS[:2]])
+    payload = kafka_payload(df, key_cols=["userId", "id"])
+    assert payload.columns == ["key", "value"]
+    first = payload.orderBy("key").first()
+    assert first["key"] == "1|1" and json.loads(first["value"])["title"] == "alpha"
+
+    back = payload.select(F.from_json("value", POSTS_SCHEMA).alias("r")).select("r.*")
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+
+
+def test_write_parquet_partitioned_layout(spark, sf_dir, tmp_path):
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = str(tmp_path / "events_by_type")
+    write_parquet_partitioned(events, out, partition_by=["event_type"])
+    subdirs = {d for d in os.listdir(out) if d.startswith("event_type=")}
+    assert len(subdirs) >= 2  # hive layout -> partition pruning works
+    # partition pruning: the filter must land in PartitionFilters, not
+    # a post-scan Filter (that is the whole point of the layout)
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    assert events.count() == spark.read.parquet(out).count()
+
+
+# ------------------------------------------------------------------
+# Reference-DAG replays (one lazy job each)
+# ------------------------------------------------------------------
+
+def test_etl_data_pipeline_replay(spark, hw_csv, tmp_path):
+    m = pipelines.etl_data_pipeline(spark, hw_csv, str(tmp_path / "cleaned"))
+    assert m == {"rows_loaded": 2}  # rows 2,3 have a missing value
+
+
+def test_etl_mongodb_complex_replay_branches(spark, tmp_path):
+    air = tmp_path / "airtravel.csv"  # FIXTURES.md §1.3
+    air.write_text("Month,1958,1959,1960\nJAN,340,360,417\nFEB,318,342,391\n")
+    grades = tmp_path / "grades.csv"  # FIXTURES.md §1.4, zero overlap
+    grades.write_text('Last name,First name,SSN,Final,Grade\nAlfalfa,Aloysius,123-45-6789,49.0,D-\n')
+
+    coll = str(tmp_path / "coll")
+    m = pipelines.etl_data_pipeline_mongodb_complex(spark, str(air), str(grades), coll, min_rows=10)
+    assert m == {"nb_lignes": 3, "rows_loaded": 0, "branch": "skip"}
+    assert not os.path.exists(coll)  # skip branch: nothing written
+
+    m2 = pipelines.etl_data_pipeline_mongodb_complex(spark, str(air), str(grades), coll, min_rows=2)
+    assert m2["branch"] == "load" and m2["rows_loaded"] == 3
+    loaded = spark.read.parquet(coll)
+    # ragged concat semantics: union of both column sets, nulls filled
+    assert set(loaded.columns) == {"Month", "1958", "1959", "1960",
+                                   "Last name", "First name", "SSN", "Final", "Grade"}
+
+
+def test_kafka_to_mongo_pipeline_replay(spark, tmp_path):
+    coll = str(tmp_path / "posts_coll")
+    m = pipelines.kafka_to_mongo_pipeline(
+        spark, "http://api/posts", POSTS_SCHEMA, coll,
+        max_messages=2, fetch=lambda u: POSTS,
+    )
+    assert m == {"messages_processed": 2}
+    got = spark.read.parquet(coll)
+    assert got.columns == ["title"]  # projected (ref :76)
+    assert {r["title"] for r in got.collect()} == {"ALPHA", "BETA"}
+
+
+def test_enhanced_pipeline_upsert_and_metrics(spark, tmp_path):
+    dupes = POSTS + [
+        {"userId": 9, "id": 1, "title": "alpha-v2", "body": "rewritten"},
+    ]
+    coll = str(tmp_path / "upserted")
+    m = pipelines.kafka_to_mongo_pipeline_enhanced(
+        spark, "http://api/posts", POSTS_SCHEMA, coll,
+        fetch=lambda u: dupes, ts=F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+    )
+    # record with null body fails required-keys validation (ref :31-42)
+    assert m["invalid_items"] == 1 and m["processed_items"] == 3
+    got = spark.read.parquet(coll)
+    assert m["stored_items"] == got.count() == 2  # id=1 deduped
+    winner = {r["id"]: r["title"] for r in got.collect()}
+    # last-writer-wins by key: tie on ts resolved by tiebreak col
+    assert winner[1] == "alpha-v2" and winner[2] == "beta"
+    assert set(got.columns) >= {"processed_timestamp", "source", "data_status"}
+
+
+def test_scrape_pipeline_replay_fixes_key_bug(spark, tmp_path):
+    pages = spark.createDataFrame([("p1", HTML_PAGE)], "page_id STRING, html STRING")
+    coll = str(tmp_path / "scraped")
+    m = pipelines.scrap_to_kafka_to_mongo_pipeline(spark, pages, coll)
+    assert m == {"messages_processed": 4}
+    got = {r["content"] for r in spark.read.parquet(coll).collect()}
+    # bug 2 fixed: content projected+uppercased (not the missing 'title')
+    assert "MAIN TITLE" in got and "HTTPS://A.EXAMPLE/1" in got
+
+
+def test_data_pipeline_workflow_nested_wrap(spark, tmp_path):
+    coll = str(tmp_path / "wrapped")
+    m = pipelines.data_pipeline_workflow(
+        spark, "http://api/posts", POSTS_SCHEMA, coll,
+        fetch=lambda u: POSTS, ts=F.to_timestamp(F.lit("2024-01-01 00:00:00")),
+    )
+    assert m == {"data_count": 3, "processed_count": 3}
+    got = spark.read.parquet(coll)
+    assert got.columns == ["original_data", "processed_at", "status"]
+    r = got.filter(F.col("original_data.id") == 1).first()
+    assert r["original_data"]["title"] == "alpha" and r["status"] == "processed"
+
+
+def test_kafka_to_mongo_bounded_decode(spark, tmp_path):
+    msgs = spark.createDataFrame(
+        [(json.dumps(p).encode("utf-8"),) for p in POSTS[:2]], "value BINARY",
+    )
+    coll = str(tmp_path / "decoded")
+    m = pipelines.kafka_to_mongo(spark, msgs, POSTS_SCHEMA, coll)
+    assert m == {"messages_processed": 2}
+    assert spark.read.parquet(coll).count() == 2
