@@ -140,10 +140,22 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     n = table(spark, sf_dir, "nation")
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    return (
+    # Fact-first shape: reduce the dimension side (customer ⋈ orders ⋈
+    # broadcast(nation)) to the two columns the fact join needs, then
+    # sort-merge-join lineitem against it on the fact key. The merge
+    # hint matters in both directions: at 100 TB a big-big broadcast is
+    # impossible, and locally Catalyst's static size estimate would
+    # otherwise *broadcast the 600 k-row lineitem side* (projected cols
+    # fall under the 10 MB threshold), serializing a driver-built hash
+    # relation — measured 2.4× slower than the merge join.
+    co = (
         c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("o_orderkey", "n_name")
+    )
+    return (
+        li.hint("merge")
+        .join(co, li.l_orderkey == co.o_orderkey)
         .groupBy("n_name")
         .agg(
             F.sum(revenue).cast("double").alias("revenue"),
