@@ -32,6 +32,14 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ANSI off: permissive casts match the reference's pandas semantics.
     "spark.sql.ansi.enabled": "false",
+    # Streaming state in RocksDB (bundled since Spark 3.2): keeps
+    # windowed-agg/dedup state off the executor heap, which is the
+    # difference between "works" and "OOMs" for 100 TB-scale stateful
+    # queries (SURVEY.md §4.2). Changelog checkpointing uploads deltas,
+    # not full snapshots, per micro-batch.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 }
 
 
