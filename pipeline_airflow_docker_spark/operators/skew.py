@@ -1,0 +1,88 @@
+"""Skew mitigation: salted two-stage aggregation and salted joins.
+
+`[EXT]` scale operators (SURVEY.md §7 Phase 5) — nothing like this
+exists in the reference (it has no partitioning concept at all,
+SURVEY.md §4.1). At 100 TB a handful of hot grouping keys (one
+mega-customer, one dominant event_type) can pin an entire stage on one
+task. AQE's skew-join splitting covers joins; for *aggregations* over
+hot keys the standard fix is salting:
+
+  stage 1: group by (key, salt) where salt = hash(row) % N
+           -> N partial rows per hot key, spread over N tasks
+  stage 2: group by key over the partials -> final row per key
+
+Only works for algebraic aggregates (sum/count/min/max, and avg as
+sum+count). The helper takes the decomposition explicitly so the
+reassembly is visible and testable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: dict[str, Column],
+    final_aggs: dict[str, Column],
+    num_salts: int = 16,
+    salt_on: Sequence[str] | None = None,
+) -> DataFrame:
+    """Two-stage aggregation with a synthetic salt key.
+
+    ``partial_aggs``: name -> aggregate over the raw rows (stage 1,
+    keyed by keys+salt). ``final_aggs``: name -> aggregate over the
+    stage-1 partial columns (stage 2, keyed by keys). For sums/counts
+    the final agg is a sum of partials; min/max re-take min/max.
+
+    ``salt_on``: columns to derive the salt from (deterministic —
+    replayable runs hash stable row attributes); default salts on all
+    non-key columns.
+
+    Example::
+
+        salted_agg(events, ["event_type"],
+                   partial_aggs={"s": F.sum("value"), "c": F.count(F.lit(1))},
+                   final_aggs={"total": F.sum("s"), "n": F.sum("c")})
+    """
+    salt_cols = list(salt_on) if salt_on else [c for c in df.columns if c not in keys]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[expr.alias(name) for name, expr in partial_aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in final_aggs.items()]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Inner equi-join where ``skewed`` has hot values of ``key``.
+
+    The skewed side gets a random-ish salt in [0, N); the small side is
+    exploded N× with every salt value, then the join runs on
+    (key, salt) — each hot key's rows spread across N tasks. The small
+    side's N× inflation is the price, so ``small`` must be the
+    dimension side. (AQE skew-join makes this unnecessary for most
+    cases; this is the manual fallback for pathological skew or
+    non-AQE contexts.)
+    """
+    sk = skewed.withColumn(
+        "__salt",
+        F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(num_salts)),
+    )
+    sm = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    out = sk.join(sm, on=[key, "__salt"], how="inner")
+    return out.drop("__salt")

@@ -723,3 +723,41 @@ def q_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", score("n_chars", "doc_id").alias("score"))
+
+
+# --------------------------------------------------------------------
+# [EXT] Phase-5 skew hardening: salted two-stage aggregation
+# (operators/skew.py). Result must be IDENTICAL to the plain groupBy —
+# decimal partials are order/partition-independent, so the oracle is
+# the unsalted SQL aggregate.
+# --------------------------------------------------------------------
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.skew import salted_agg  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs={
+            "ps": F.sum(dec("value")),
+            "pc": F.count(F.lit(1)),
+        },
+        final_aggs={
+            "total_value": F.sum("ps").cast("double"),
+            "n_events": F.sum("pc"),
+        },
+        num_salts=16,
+        salt_on=["event_id"],
+    )
+    return out.orderBy("event_type")

@@ -1,0 +1,61 @@
+"""Skew-mitigation operators (operators/skew.py) — salted results must
+be identical to their unsalted equivalents on skewed data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.operators.skew import salted_agg, salted_join
+
+
+def _skewed(spark):
+    # 90% of rows share one hot key — the shape salting exists for.
+    rows = [(i, "hot" if i % 10 else f"cold{i}", float(i % 7)) for i in range(1000)]
+    return spark.createDataFrame(rows, "row_id BIGINT, k STRING, v DOUBLE")
+
+
+def test_salted_agg_matches_plain_agg(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"]): (r["total"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(18,4)")).cast("double").alias("total"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["total"], r["n"])
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            partial_aggs={"ps": F.sum(F.col("v").cast("decimal(18,4)")),
+                          "pc": F.count(F.lit(1))},
+            final_aggs={"total": F.sum("ps").cast("double"), "n": F.sum("pc")},
+            num_salts=8,
+            salt_on=["row_id"],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    df = _skewed(spark)
+    partial = df.withColumn(
+        "__salt", F.pmod(F.hash("row_id"), F.lit(8))
+    ).groupBy("k", "__salt").count()
+    hot_partials = partial.filter(F.col("k") == "hot").count()
+    assert hot_partials == 8  # hot key split across all 8 salt buckets
+
+
+def test_salted_join_matches_plain_join(spark):
+    skewed = _skewed(spark)
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold10", 2), ("cold20", 3)], "k STRING, tag INT"
+    )
+    plain = sorted(
+        (r["row_id"], r["tag"]) for r in skewed.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["row_id"], r["tag"]) for r in salted_join(skewed, dim, "k", num_salts=4).collect()
+    )
+    assert salted == plain and len(plain) == 902  # 900 hot + cold10 + cold20
