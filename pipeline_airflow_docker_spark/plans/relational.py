@@ -761,3 +761,88 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_on=["event_id"],
     )
     return out.orderBy("event_type")
+
+
+# --------------------------------------------------------------------
+# B19b grouped-map UDAF boundary: per-group pandas computation via
+# applyInPandas (Arrow-batched; one group per pandas frame). Median is
+# genuinely non-algebraic — it cannot be a partial+final built-in —
+# which is exactly when applyInPandas earns its shuffle. Scale: one
+# shuffle on the group key; each group must fit one executor's memory
+# (documents-per-lang does; a billion-row group would need the
+# two-pass approx_percentile built-in instead).
+# --------------------------------------------------------------------
+@query(
+    "q_udaf",
+    oracle="""
+    SELECT lang,
+           median(n_chars) AS median_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "median_chars": [float(pdf["n_chars"].median())],
+                "n_docs": [len(pdf)],
+            }
+        )
+
+    out = d.groupBy("lang").applyInPandas(
+        _stats, schema="lang STRING, median_chars DOUBLE, n_docs BIGINT"
+    )
+    return out.orderBy("lang")
+
+
+# --------------------------------------------------------------------
+# B19c Python UDTF (Spark 4): one input row -> N output rows with
+# per-row Python logic. Tokenize-with-position over a document slice;
+# the lateral join shape is what a custom flatten/parse would use when
+# explode(F.split()) can't express the logic. (This one IS expressible
+# as explode — chosen deliberately so the oracle can check the UDTF
+# machinery exactly.)
+# --------------------------------------------------------------------
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id, pos, tok FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE doc_id < 100
+    )
+    ORDER BY doc_id, pos
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf  # noqa: PLC0415
+
+    @udtf(returnType="pos BIGINT, tok STRING")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            # split(" ") (not split()) == DuckDB string_split semantics:
+            # empty tokens between consecutive delimiters are kept.
+            for i, tok in enumerate(text.split(" "), start=1):
+                yield (i, tok)
+
+    spark.udtf.register("tokenize_pos", Tokenize)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.tok
+        FROM documents d, LATERAL tokenize_pos(d.text) t
+        WHERE d.doc_id < 100
+        ORDER BY d.doc_id, t.pos
+        """
+    )
