@@ -46,6 +46,96 @@ def knn_cosine(
     )
 
 
+def knn_cosine_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_anchors: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index.
+
+    The coarse quantizer is ``n_anchors`` corpus vectors (the smallest
+    ids — deterministic, trained centroids would slot in unchanged).
+    Anchors are collected to the driver and inlined as a literal array,
+    the same way FAISS keeps the coarse quantizer resident on every
+    node: **cell assignment is then a pure map-side fold — the corpus
+    never shuffles and never joins to assign cells.** Queries probe
+    their ``n_probe`` nearest cells and compare exactly only within
+    them, so the scanned fraction is ~n_probe/n_anchors. Recall < 1 by
+    design (a true neighbor in an unprobed cell is missed).
+
+    Determinism: sequential fold argmax, ties broken toward the
+    smaller anchor id — bit-reproducible across engines, so the DuckDB
+    oracle hash-checks this exactly (plans/llm.py::q_knn_ivf).
+    """
+    anchors = [
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_anchors)
+        .collect()
+    ]
+    anchor_arr = F.array(
+        *[
+            F.struct(
+                F.lit(aid).cast("bigint").alias("aid"),
+                F.array(*[F.lit(x) for x in av]).alias("av"),
+            )
+            for aid, av in anchors
+        ]
+    )
+
+    def _cell(v):
+        """argmax_a cosine(v, a.av); first-seen (smallest aid) wins ties."""
+        init = F.struct(
+            F.lit(float("-inf")).alias("best"),
+            F.lit(-1).cast("bigint").alias("aid"),
+        )
+        return F.aggregate(
+            anchor_arr,
+            init,
+            lambda acc, a: F.when(
+                cosine(v, a["av"]) > acc["best"],
+                F.struct(cosine(v, a["av"]).alias("best"), a["aid"].alias("aid")),
+            ).otherwise(acc),
+        )["aid"]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _cell(F.col(vec_col)).alias("cell"),
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    wp = Window.partitionBy("query_id").orderBy(F.col("acos").desc(), "cell")
+    probes = (
+        q.select("query_id", "qv", F.explode(anchor_arr).alias("a"))
+        .select(
+            "query_id",
+            "qv",
+            F.col("a.aid").alias("cell"),
+            cosine(F.col("qv"), F.col("a.av")).alias("acos"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = c.join(
+        F.broadcast(probes),
+        (probes.cell == c.cell) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def knn_cosine_bucketed(
     queries: DataFrame,
     corpus: DataFrame,

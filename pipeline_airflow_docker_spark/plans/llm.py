@@ -28,6 +28,7 @@ from pipeline_airflow_docker_spark.operators.multimodal import (
 from pipeline_airflow_docker_spark.operators.similarity import (
     knn_cosine,
     knn_cosine_bucketed,
+    knn_cosine_ivf,
 )
 from pipeline_airflow_docker_spark.operators.textstats import (
     fingerprint,
@@ -246,6 +247,54 @@ _DD_BUCKET = (
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     return knn_cosine_bucketed(e.filter(F.col("vec_id") < 10), e, k=3, n_bits=4)
+
+
+# --------------------------------------------------------------------
+# C3 scale path #2: IVF — coarse-quantize the corpus into cells
+# (assignment is a driver-resident-anchor map-side fold: zero corpus
+# shuffle), probe the query's 2 nearest of 8 cells. Deterministic
+# quantizer => the oracle replays the identical index and the result
+# hash-matches despite being "approximate".
+# --------------------------------------------------------------------
+@query(
+    "q_knn_ivf",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS aid, embedding AS av FROM embeddings WHERE vec_id < 8),
+    cells AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT c.vec_id, c.embedding, a.aid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_dd_cos('c.embedding', 'a.av')} DESC, a.aid) AS rn
+        FROM embeddings c CROSS JOIN a
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, a.aid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_dd_cos('q.embedding', 'a.av')} DESC, a.aid) AS rn
+        FROM embeddings q CROSS JOIN a WHERE q.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_dd_cos('p.qv', 'c.embedding')} AS cos
+      FROM probes p JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return knn_cosine_ivf(
+        e.filter(F.col("vec_id") < 10), e, k=3, n_anchors=8, n_probe=2
+    )
 
 
 # --------------------------------------------------------------------

@@ -123,6 +123,36 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# S7 bounded ingestion [ref dags/kafka_to_mongo_pipeline.py:55-82]:
+# consume from earliest, stop at 100 messages, project + uppercase
+# (P3, ref :76). The poll-until-100 loop (which spins forever when the
+# topic is short — reference bug 3) becomes: rate-capped micro-batches
+# (maxFilesPerTrigger, the file-source analog of maxOffsetsPerTrigger)
+# under Trigger.AvailableNow, then a deterministic bound — the 100
+# earliest messages in topic order, which the (ts, event_id) order
+# stands in for. The stream terminates even on a short topic.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_bounded",
+    oracle="""
+    SELECT event_id, upper(event_type) AS event_type_u FROM (
+      SELECT event_id, event_type FROM events ORDER BY ts, event_id LIMIT 100
+    )
+    """,
+)
+def q_stream_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    consumed = run_to_df(
+        ev.select("event_id", "ts", "event_type"), output_mode="append"
+    )
+    return (
+        consumed.orderBy("ts", "event_id")
+        .limit(100)
+        .select("event_id", F.upper("event_type").alias("event_type_u"))
+    )
+
+
+# --------------------------------------------------------------------
 # K3 keyed upsert [ref dags/kafka_to_mongo_pipeline_enchanced.py:
 # 141-145]: streaming foreachBatch merge, latest (ts, event_id) wins
 # per (user_id, event_type). Runs as TWO micro-batches

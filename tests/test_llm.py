@@ -122,3 +122,44 @@ def test_lang_id_schema_and_fallback(spark):
     )
     out = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
     assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_knn_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with 2-of-8 probes must still recover most exact top-3
+    neighbors on this corpus, and every returned pair must carry the
+    exact cosine (IVF approximates the candidate set, never the
+    score)."""
+    from pipeline_airflow_docker_spark.operators.similarity import knn_cosine_ivf
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in knn_cosine(q, e, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in knn_cosine_ivf(q, e, k=3, n_anchors=8, n_probe=2).collect()
+    }
+    hits = set(exact) & set(ivf)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+    for pair in hits:  # scores are exact wherever the candidate was probed
+        assert abs(exact[pair] - ivf[pair]) < 1e-12
+
+
+def test_knn_ivf_corpus_side_has_no_shuffle(spark, sf_dir):
+    """Cell assignment must be map-side: no Exchange between the
+    corpus parquet scan and the probe join (the only exchanges allowed
+    are for the tiny query side and the final per-query top-k
+    window)."""
+    from pipeline_airflow_docker_spark.operators.similarity import knn_cosine_ivf
+
+    e = table(spark, sf_dir, "embeddings")
+    plan = knn_cosine_ivf(
+        e.filter(F.col("vec_id") < 10), e, k=3
+    )._jdf.queryExecution().executedPlan().toString()
+    # corpus -> BroadcastHashJoin must not pass through an Exchange:
+    # the join's streamed side is the scan itself.
+    joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
+    assert joins, plan

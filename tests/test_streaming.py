@@ -93,3 +93,15 @@ def test_stream_dedup_removes_redelivery(spark, sf_dir):
     n = table(spark, sf_dir, "events").count()
     assert out.count() == n
     assert out.select("event_id").distinct().count() == n
+
+
+def test_bounded_stream_terminates_on_short_topic(spark, sf_dir):
+    """Reference bug 3: poll-until-100 spins forever when the topic
+    holds fewer messages. Our bounded ingestion terminates and returns
+    everything available."""
+    from pipeline_airflow_docker_spark.plans.streaming_q import q_stream_bounded
+
+    out = q_stream_bounded(spark, sf_dir)
+    n = out.count()
+    assert 0 < n <= 100
+    assert out.columns == ["event_id", "event_type_u"]
