@@ -25,6 +25,9 @@ from pipeline_airflow_docker_spark.sources.batch import (  # noqa: F401
     read_json_records,
     read_rest_json,
 )
+from pipeline_airflow_docker_spark.sources.rest_datasource import (  # noqa: F401
+    RestJsonDataSource,
+)
 from pipeline_airflow_docker_spark.sources.scrape import (  # noqa: F401
     extract_html_elements,
     scrape_records,
