@@ -184,7 +184,31 @@ def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# Stream-static join (P5 enrich generalized): the unbounded stream
+# Custom stateful operator (applyInPandasWithState): per-user running
+# totals whose state genuinely crosses micro-batches (2 files, 1 per
+# trigger; users span both). The latest emission per key equals the
+# batch aggregate — that equivalence is the oracle contract.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.streaming.stateful import (  # noqa: PLC0415
+        running_totals,
+    )
+
+    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    emissions = run_to_df(
+        running_totals(ev, "user_id", "value"), output_mode="update"
+    )
+    return emissions.groupBy("user_id").agg(
+        F.max("n_so_far").alias("n_events"),
+        F.max("max_so_far").alias("max_value"),
+    )
 # joins a static broadcast dimension per micro-batch — no state needed.
 # --------------------------------------------------------------------
 @query(

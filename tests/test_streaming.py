@@ -105,3 +105,35 @@ def test_bounded_stream_terminates_on_short_topic(spark, sf_dir):
     n = out.count()
     assert 0 < n <= 100
     assert out.columns == ["event_id", "event_type_u"]
+
+
+def test_stateful_running_totals_cross_batch(spark, sf_dir):
+    """State must carry across micro-batches: with users split over 2
+    time-ordered files (1 file per trigger), some user must emit twice
+    and the second emission must be cumulative, not per-batch."""
+    from pyspark.sql import functions as F
+
+    from pipeline_airflow_docker_spark.streaming.runner import run_to_df
+    from pipeline_airflow_docker_spark.streaming.sources import stream_table
+    from pipeline_airflow_docker_spark.streaming.stateful import running_totals
+
+    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    emissions = run_to_df(
+        running_totals(ev, "user_id", "value"), output_mode="update"
+    ).collect()
+    per_key: dict = {}
+    for r in emissions:
+        per_key.setdefault(r.user_id, []).append(r.n_so_far)
+    multi = {k: sorted(v) for k, v in per_key.items() if len(v) > 1}
+    assert multi, "no key crossed a batch boundary — state carry untested"
+    from pipeline_airflow_docker_spark.catalog import table
+
+    batch = {
+        r.user_id: r.n
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k, counts in per_key.items():
+        assert max(counts) == batch[k], f"cumulative total wrong for {k}"
