@@ -75,7 +75,15 @@ def main() -> int:
     for name in keys:
         t0 = time.time()
         df = plans.QUERIES[name](spark, sf_dir)
-        n = df.count() if len(df.columns) > 8 else len(df.collect())
+        # Action = JVM-side row count + xxhash64 checksum over every
+        # output column: forces full computation of the plan (a bare
+        # count() would let Catalyst prune computed columns away) while
+        # moving exactly one row to the driver (collect() of a wide
+        # result would time Python pickling, not the engine).
+        n = df.select(
+            _F.count(_F.lit(1)).alias("n"),
+            _F.sum(_F.xxhash64(*[_F.col(c) for c in df.columns])).alias("h"),
+        ).collect()[0]["n"]
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
