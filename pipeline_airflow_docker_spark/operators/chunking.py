@@ -1,0 +1,57 @@
+"""Document chunking for training-data pipelines (SURVEY.md §2 Part C).
+
+Splits each document into overlapping token windows — the standard
+pre-tokenization step before embedding or LM training when documents
+exceed the model context. Pure JVM higher-order functions
+(split/sequence/slice under explode), so chunking is embarrassingly
+parallel, stays in whole-stage codegen, and shuffles nothing: each
+input row expands to its chunks inside its own task (Generate node),
+exactly how a 100 TB corpus wants to fan out.
+
+Chunk count for n tokens, window w, stride s: max(ceil((n-w)/s)+1, 1)
+— the last window is allowed to be short (slice clamps at the end);
+every token belongs to >= 1 chunk; consecutive chunks overlap by w-s
+tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 50,
+    stride: int = 40,
+    delimiter: str = " ",
+) -> DataFrame:
+    """Explode each row into (chunk_id, n_tokens, chunk_text) windows.
+
+    Keeps all original columns except ``text_col``; deterministic:
+    chunk boundaries depend only on token positions.
+    """
+    if not 0 < stride <= window:
+        raise ValueError(f"need 0 < stride <= window, got {stride=} {window=}")
+    toks = F.split(F.col(text_col), delimiter)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(window)) / F.lit(float(stride))).cast("int") + 1,
+        F.lit(1),
+    )
+    keep = [c for c in df.columns if c != text_col]
+    exploded = df.select(
+        *keep,
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece: Column = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, window
+    )
+    return exploded.select(
+        *keep,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.concat_ws(delimiter, piece).alias("chunk_text"),
+    )

@@ -423,3 +423,32 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(d), n_features=8, fake=True)
+
+
+# --------------------------------------------------------------------
+# C6 document chunking: overlapping token windows (window 50, stride
+# 40 -> 10-token overlap), the pre-tokenization fan-out before
+# embedding/training. Generate-node expansion, no shuffle.
+# --------------------------------------------------------------------
+@query(
+    "q_chunk_docs",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1, 1) AS n
+      FROM t
+    ),
+    x AS (SELECT doc_id, toks, unnest(range(0, n)) AS chunk_id FROM c)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(len(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50]) AS INT) AS n_tokens,
+           array_to_string(toks[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' ') AS chunk_text
+    FROM x
+    """,
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.chunking import chunk_tokens  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_tokens(d, "text", window=50, stride=40)

@@ -846,3 +846,131 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+# --------------------------------------------------------------------
+# B22 pivot: long -> wide conditional aggregation. Explicit pivot
+# values (the 5 langs) keep the plan a single pass — with values
+# supplied, Spark skips the extra distinct-collect job AND the output
+# schema is static, which is what you want at 100 TB (an unbounded
+# pivot column is a schema explosion). Oracle: CASE-WHEN conditional
+# aggregate, the relational-algebra meaning of pivot.
+# --------------------------------------------------------------------
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT source,
+           COUNT(CASE WHEN lang = 'de' THEN 1 END) AS de,
+           COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+           COUNT(CASE WHEN lang = 'es' THEN 1 END) AS es,
+           COUNT(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+           COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    out = (
+        d.groupBy("source")
+        .pivot("lang", _LANGS)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _LANGS)  # absent (source, lang) cell = 0 docs
+        .orderBy("source")
+    )
+    return out
+
+
+# --------------------------------------------------------------------
+# B22b unpivot (melt): wide -> long. Spark's native `unpivot` plans as
+# an Expand node — each input row emits V rows in the same task, no
+# shuffle, no V-way self-union scan. Oracle: the UNION ALL relational
+# form (DuckDB's UNPIVOT would also work; UNION ALL keeps it ANSI).
+# --------------------------------------------------------------------
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# --------------------------------------------------------------------
+# B23 exact percentiles: `percentile(col, array(...))` is the exact
+# sort-based form (one pass, per-group sort buffer). Both engines use
+# the same rank = p*(n-1) linear interpolation; results rounded to 6
+# decimals to absorb expression-shape float drift. At 100 TB the
+# declared scale path is approx_percentile (t-digest sketch, fixed
+# memory) — same call shape, swapped function.
+# --------------------------------------------------------------------
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           round(quantile_cont(l_quantity, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_quantity", F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.99)]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pct.alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("pcts")[0], 6).alias("p25"),
+            F.round(F.col("pcts")[1], 6).alias("p50"),
+            F.round(F.col("pcts")[2], 6).alias("p75"),
+            F.round(F.col("pcts")[3], 6).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------
+# B24 ordered string aggregation: collect_list -> sort_array ->
+# concat_ws. The explicit sort INSIDE the aggregate is the point:
+# collect_list order is partition-arrival order and thus
+# nondeterministic under parallelism; sorting makes the result
+# reproducible at any cluster size (and hash-checkable).
+# --------------------------------------------------------------------
+@query(
+    "q_agg_stringagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations"
+            )
+        )
+        .orderBy("n_regionkey")
+    )

@@ -163,3 +163,36 @@ def test_knn_ivf_corpus_side_has_no_shuffle(spark, sf_dir):
     # the join's streamed side is the scan itself.
     joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
     assert joins, plan
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
+    """Every token appears in >= 1 chunk; consecutive chunks overlap by
+    window-stride tokens; short docs yield exactly one short chunk."""
+    from pipeline_airflow_docker_spark.operators.chunking import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(95))), (2, "a b c")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = chunk_tokens(docs, "text", window=50, stride=40)
+    rows = {(r.doc_id, r.chunk_id): r for r in out.collect()}
+    # doc 1: 95 tokens -> ceil((95-50)/40)+1 = 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    c0, c1, c2 = (rows[(1, i)].chunk_text.split(" ") for i in range(3))
+    assert c0 == [f"t{i}" for i in range(50)]
+    assert c1[:10] == c0[40:]          # 10-token overlap
+    assert c2 == [f"t{i}" for i in range(80, 95)]  # short tail kept
+    assert rows[(1, 2)].n_tokens == 15
+    # doc 2: shorter than one window -> single chunk, whole doc
+    assert rows[(2, 0)].chunk_text == "a b c" and rows[(2, 0)].n_tokens == 3
+    assert len([k for k in rows if k[0] == 2]) == 1
+
+
+def test_chunk_tokens_rejects_bad_stride(spark):
+    from pipeline_airflow_docker_spark.operators.chunking import chunk_tokens
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, "text", window=10, stride=0)
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, "text", window=10, stride=11)
