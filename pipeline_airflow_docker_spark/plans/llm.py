@@ -452,3 +452,33 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_tokens(d, "text", window=50, stride=40)
+
+
+# --------------------------------------------------------------------
+# C7 deterministic train/val/test split: content-addressed bucket =
+# int(md5("42:" || key)[:8 hex]) % 1000, 80/10/10 by per-mille
+# boundary. randomSplit would re-deal membership every run; this is a
+# pure function of the key (map-side projection, zero shuffle).
+# --------------------------------------------------------------------
+_DD_BUCKET1000 = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr(md5('42:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT)), "
+    "(acc, d) -> acc * 16 + d) % 1000"
+)
+
+
+@query(
+    "q_split_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_DD_BUCKET1000} < 800 THEN 'train'
+                WHEN {_DD_BUCKET1000} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.splits import hash_split  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, "doc_id")

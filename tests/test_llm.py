@@ -196,3 +196,33 @@ def test_chunk_tokens_rejects_bad_stride(spark):
         chunk_tokens(docs, "text", window=10, stride=0)
     with pytest.raises(ValueError):
         chunk_tokens(docs, "text", window=10, stride=11)
+
+
+def test_hash_split_stable_and_proportional(spark, sf_dir):
+    """Split membership is a pure function of the key: unchanged when
+    the corpus shrinks/grows, and close to the target fractions."""
+    from pipeline_airflow_docker_spark.operators.splits import hash_split
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    full = {r.doc_id: r.split for r in hash_split(d, "doc_id").collect()}
+    n = len(full)
+    frac_train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.7 < frac_train < 0.9
+    assert set(full.values()) == {"train", "val", "test"}
+    # subset of the corpus -> identical assignments for surviving keys
+    sub = {
+        r.doc_id: r.split
+        for r in hash_split(d.filter("doc_id % 3 = 0"), "doc_id").collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    # different seed -> different deal
+    reseeded = {r.doc_id: r.split for r in hash_split(d, "doc_id", seed=7).collect()}
+    assert reseeded != full
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from pipeline_airflow_docker_spark.operators.splits import hash_split
+
+    d = spark.createDataFrame([(1,)], "doc_id BIGINT")
+    with pytest.raises(ValueError):
+        hash_split(d, "doc_id", {"train": 0.5, "test": 0.4})
