@@ -80,6 +80,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local"):
+        # Local-mode split sizing only. The driver testdata is a single
+        # ~10 MB parquet file per table; with the cluster defaults
+        # (openCostInBytes=4 MB, maxPartitionBytes=128 MB) Spark cuts it
+        # into ~3 splits and 29 of local[32]'s cores sit idle on every
+        # scan. Shrinking both puts all cores on the scan. NOT applied
+        # on a cluster master: at 100 TB the 128 MB default yields
+        # ~800 k well-sized tasks, while 4 MB splits would explode the
+        # task count 32×.
+        builder = builder.config(
+            "spark.sql.files.openCostInBytes", str(128 * 1024)
+        ).config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
