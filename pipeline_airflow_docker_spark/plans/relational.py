@@ -411,6 +411,39 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# B9 (cont.) cube: all 2^k grouping-set combinations in one pass —
+# Catalyst plans a single Expand node feeding one hash aggregate, so
+# the input is scanned once no matter how many grouping sets; the
+# shuffle carries gid as part of the grouping key, keeping the 100 TB
+# cost profile identical to a plain groupBy modulo the 4x expand.
+# --------------------------------------------------------------------
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            dsum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+        .select("o_orderstatus", "o_orderpriority", "gid", "sum_price", "n_orders")
+    )
+
+
+# --------------------------------------------------------------------
 # B10 sort + top-k: planner compiles to TakeOrderedAndProject — a
 # per-partition bounded heap + driver merge of k rows, never a global
 # sort. The tie-break makes the result set deterministic.
