@@ -729,6 +729,32 @@ def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# B18 (cont.) correlated scalar subquery + NOT IN. Catalyst's
+# decorrelation rewrites the per-row "avg of my brand" into one
+# aggregate-then-join (RewriteCorrelatedScalarSubquery) and the NOT IN
+# into a null-aware anti join — both shuffle-once plans; nothing is
+# re-executed per outer row, which is what makes the query viable when
+# the outer table is 100 TB.
+# --------------------------------------------------------------------
+_SUBQUERY_CORR_SQL = """
+SELECT p_partkey, p_brand, p_retailprice
+FROM part p
+WHERE p_retailprice > (
+        SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*)
+        FROM part p2 WHERE p2.p_brand = p.p_brand)
+  AND p_partkey NOT IN (
+        SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+"""
+
+
+@query("q_subquery_corr", oracle=_SUBQUERY_CORR_SQL)
+def q_subquery_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SUBQUERY_CORR_SQL)
+
+
+# --------------------------------------------------------------------
 # B19 pandas UDF (Arrow-vectorized — the sanctioned Python escape
 # hatch; a row-at-a-time Python UDF here would be ~10-100x slower).
 # The arithmetic is integer-exact so the SQL oracle still applies.
