@@ -145,23 +145,88 @@ def simhash_dup_pairs(
         (F.col("simhash") % 65536).alias("lo"),
         F.floor(F.col("simhash") / 65536).cast("long").alias("hi"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    cand = (
-        a.join(
+    def half_join(key: str) -> DataFrame:
+        a, b = sh.alias("a"), sh.alias("b")
+        return a.join(
             b,
-            ((F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi")))
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
             & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
+        ).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.bit_count(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+
+    # An OR-of-equalities join condition has no conjunctive equi-
+    # predicate, so Catalyst would plan a BroadcastNestedLoopJoin —
+    # O(n^2) and fatal at corpus scale. Two shuffle-keyed equi-joins
+    # (one per half) unioned + pair-dedup produce the same candidate
+    # set with linear shuffles (plan asserted in tests/test_plans.py).
+    cand = half_join("lo").unionByName(half_join("hi")).dropDuplicates(["id_a", "id_b"])
     return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def resolve_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Turn near-dup *pairs* into a deduped keep-set: connected
+    components over the pair graph, keep-min-id per component
+    (SURVEY.md §2 C2 "connected components keep-first").
+
+    Returns ``(id, component)`` for every node in ``nodes``; the kept
+    representative of each dup cluster is the row with
+    ``id == component``, and ``component`` is the min id reachable
+    through any chain of dup pairs.
+
+    Scale design: small-step label propagation — each round joins the
+    current labels across the (both-direction) edge list and takes the
+    per-node min, converging in O(graph diameter) rounds. Every round
+    is two keyed shuffles (equi-join + groupBy), never a cross
+    product; dup clusters have tiny diameters in practice (near-dup
+    graphs are dense cliques), so 2-4 rounds at any corpus size.
+    ``localCheckpoint`` truncates lineage so plans don't grow with the
+    iteration count. The driver-side loop is the standard Pregel
+    shape for iterative graph algorithms (GraphX does the same); the
+    only values collected are per-round change counts.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # Push each node's current component to its neighbours, then
+        # take the min of (own component, pushed components) per node.
+        pushed = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(pushed)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def embedding_dup_pairs(

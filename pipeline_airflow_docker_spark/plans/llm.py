@@ -19,7 +19,9 @@ from pipeline_airflow_docker_spark.operators.dedup import (
     embedding_dup_pairs,
     minhash_dup_pairs,
     ngram_jaccard_pairs,
+    resolve_components,
     simhash_docs,
+    simhash_dup_pairs,
 )
 from pipeline_airflow_docker_spark.operators.multimodal import (
     attach_binary_payload,
@@ -143,12 +145,74 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# C2e dup *resolution* (SURVEY §2 C2 "connected components
+# keep-first"): minhash pairs -> connected components via label
+# propagation -> (id, component); the kept representative is
+# id == component. Oracle: identical minhash pairs + recursive-CTE
+# transitive closure + per-node min.
+# --------------------------------------------------------------------
+_DD_MINHASH_PAIR_CTES = f"""
+    tok AS (SELECT doc_id, {_DD_TOKS} FROM documents),
+    s AS (SELECT doc_id, {_DD_SHINGLES3} FROM tok),
+    sig AS (
+      SELECT doc_id, sh,
+             list_transform(range(0, 8), i ->
+               list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS mh
+      FROM s
+    ),
+    bands AS (
+      SELECT doc_id, sh, j,
+             mh[2*j + 1] || mh[2*j + 2] AS bkey
+      FROM sig, generate_series(0, 3) t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN s x ON cand.id_a = x.doc_id
+                JOIN s y ON cand.id_b = y.doc_id
+      WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+              / len(list_distinct(x.sh || y.sh)) >= 0.8
+    )
+"""
+
+
+@query(
+    "q_dedup_resolve",
+    oracle=f"""
+    WITH RECURSIVE {_DD_MINHASH_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+    )
+    SELECT d.doc_id AS id,
+           LEAST(d.doc_id, COALESCE(MIN(r.peer), d.doc_id)) AS component
+    FROM documents d LEFT JOIN reach r ON d.doc_id = r.id
+    GROUP BY d.doc_id
+    """,
+)
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(
+        d, "doc_id", "text", n=3, n_hashes=8, n_bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    return resolve_components(d.select("doc_id"), pairs, id_col="doc_id")
+
+
+# --------------------------------------------------------------------
 # C2c per-document 32-bit SimHash (bit-majority over md5 token
 # hashes) — same value computed by the DuckDB oracle.
 # --------------------------------------------------------------------
-@query(
-    "q_dedup_simhash",
-    oracle="""
+_DD_SIMHASH = """
     SELECT doc_id,
       list_reduce(list_prepend(0::BIGINT,
         list_transform(range(0, 32), b ->
@@ -159,13 +223,49 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    THEN 1 ELSE -1 END)), (a, x) -> a + x) > 0
           THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)), (a, x) -> a + x) AS simhash
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    """,
-)
+"""
+
+
+@query("q_dedup_simhash", oracle=_DD_SIMHASH)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return simhash_docs(d, "doc_id", "text").select(
         F.col("id").alias("doc_id"), "simhash"
     )
+
+
+# --------------------------------------------------------------------
+# C2c' SimHash near-dup *pairs*: candidates from two equi-joins on the
+# 16-bit hash halves (pigeonhole: Hamming<=3 over 32 bits implies one
+# half matches exactly), verified by popcount of the XOR — never a
+# nested-loop join. Oracle replays the identical plan shape in SQL;
+# UNION dedups the (pair, hamming) rows that matched on both halves.
+# --------------------------------------------------------------------
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH sh AS ({_DD_SIMHASH}),
+    h AS (
+      SELECT doc_id, simhash,
+             simhash % 65536 AS lo, simhash // 65536 AS hi
+      FROM sh
+    ),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM h a JOIN h b ON a.lo = b.lo AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM h a JOIN h b ON a.hi = b.hi AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    p = simhash_dup_pairs(d, "doc_id", "text", max_hamming=6)
+    return p.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # --------------------------------------------------------------------

@@ -163,6 +163,17 @@ def test_knn_ivf_corpus_side_has_no_shuffle(spark, sf_dir):
     # the join's streamed side is the scan itself.
     joins = [ln for ln in plan.splitlines() if "BroadcastHashJoin" in ln]
     assert joins, plan
+    # Every shuffle Exchange must partition on the *query* side
+    # (query_id for the top-k window / probe ranking); a shuffle of the
+    # corpus branch (e.g. hashpartitioning on cell or corpus vec_id)
+    # would mean cell assignment stopped being map-side.
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    for ln in shuffles:
+        assert "query_id" in ln, f"corpus-side shuffle detected:\n{ln}\n{plan}"
 
 
 def test_chunk_tokens_coverage_and_overlap(spark):
@@ -226,3 +237,32 @@ def test_hash_split_rejects_bad_fractions(spark):
     d = spark.createDataFrame([(1,)], "doc_id BIGINT")
     with pytest.raises(ValueError):
         hash_split(d, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+def test_resolve_components_chain_and_singletons(spark):
+    """Transitive closure: a chain 1-2-3 collapses to component 1 even
+    though (1,3) was never emitted as a pair; untouched nodes keep
+    themselves; pair order (a<b vs b<a) doesn't matter."""
+    from pipeline_airflow_docker_spark.operators.dedup import resolve_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id BIGINT")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 2), (5, 6)], "id_a BIGINT, id_b BIGINT"
+    )
+    got = {
+        r.id: r.component
+        for r in resolve_components(nodes, pairs, id_col="doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_resolve_components_no_pairs_is_identity(spark):
+    from pipeline_airflow_docker_spark.operators.dedup import resolve_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "doc_id BIGINT")
+    pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    got = {
+        r.id: r.component
+        for r in resolve_components(nodes, pairs, id_col="doc_id").collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}

@@ -75,6 +75,25 @@ def test_approx_distinct_is_single_pass(spark, sf_dir):
         assert abs(est - act) / act < 0.1, f"HLL estimate off >10%: {est} vs {act}"
 
 
+def test_simhash_pairs_no_nested_loop_join(spark, sf_dir):
+    """Candidate generation must be keyed equi-joins on the 16-bit
+    halves — an OR-of-equalities condition would regress to
+    BroadcastNestedLoopJoin (O(n^2), fatal at corpus scale)."""
+    plan = explain(spark, sf_dir, "q_dedup_simhash_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # two half-joins (broadcast-hash at tiny SF, sort-merge at scale)
+    n_joins = plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_joins >= 2, plan
+
+
+def test_dedup_resolve_joins_are_keyed(spark, sf_dir):
+    """Label propagation must be equi-joins + keyed aggregation only."""
+    plan = explain(spark, sf_dir, "q_dedup_resolve")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize("name", ["q_join_asof"])
 def test_asof_single_shuffle(spark, sf_dir, name):
     # The as-of recipe must be one window pass — no nested-loop join.
