@@ -119,8 +119,8 @@ DAG_SPECS: tuple[DagSpec, ...] = (
         "etl_data_pipeline_mongodb_complex",
         pipelines.etl_data_pipeline_mongodb_complex,
         timedelta(days=1),
-        2,
-        timedelta(minutes=2),
+        1,
+        timedelta(minutes=5),  # [ref dags/etl_data_pipeline_mongodb_complex.py:69-70]
         "dags/etl_data_pipeline_mongodb_complex.py",
         {
             "csv_path_1": "{staging}/airtravel.csv",
@@ -164,7 +164,7 @@ DAG_SPECS: tuple[DagSpec, ...] = (
         pipelines.kafka_to_mongo_pipeline_enhanced,
         "@daily",  # [ref dags/kafka_to_mongo_pipeline_enchanced.py:201]
         2,
-        timedelta(minutes=5),
+        timedelta(minutes=2),  # [ref dags/kafka_to_mongo_pipeline_enchanced.py:191-192]
         "dags/kafka_to_mongo_pipeline_enchanced.py:191-203",
         {
             "api_url": "https://jsonplaceholder.typicode.com/posts",

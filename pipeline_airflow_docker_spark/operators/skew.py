@@ -40,8 +40,15 @@ def salted_agg(
     the final agg is a sum of partials; min/max re-take min/max.
 
     ``salt_on``: columns to derive the salt from (deterministic —
-    replayable runs hash stable row attributes); default salts on all
-    non-key columns.
+    replayable runs hash stable row attributes). Name a
+    high-cardinality column (an id, a timestamp) or the salt
+    degenerates and the hot key stays on one task. Default salts on
+    all non-key columns; when every column is a grouping key there is
+    nothing deterministic to salt on, so the salt falls back to
+    ``spark_partition_id()`` (spreads hot keys across however many
+    input partitions hold them; not stable across different input
+    partitionings, which only matters if you diff partial rows between
+    runs — the final aggregate is identical either way).
 
     Example::
 
@@ -50,9 +57,14 @@ def salted_agg(
                    final_aggs={"total": F.sum("s"), "n": F.sum("c")})
     """
     salt_cols = list(salt_on) if salt_on else [c for c in df.columns if c not in keys]
-    salted = df.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
-    )
+    if salt_cols:
+        salt_expr = F.pmod(F.hash(*[F.col(c) for c in salt_cols]), F.lit(num_salts))
+    else:
+        # All columns are grouping keys: hash() with zero args would
+        # raise, and any constant would un-salt. Partition id spreads a
+        # hot key over every input partition that contains it.
+        salt_expr = F.pmod(F.spark_partition_id(), F.lit(num_salts))
+    salted = df.withColumn("__salt", salt_expr)
     partial = salted.groupBy(*keys, "__salt").agg(
         *[expr.alias(name) for name, expr in partial_aggs.items()]
     )

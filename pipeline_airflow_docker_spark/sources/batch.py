@@ -82,6 +82,35 @@ def read_csv(
     return reader.csv(path)
 
 
+def _probe_json_array(path: str) -> bool | None:
+    """Peek at the first non-whitespace byte of the first data file
+    under ``path`` (literal file, directory, or glob). ``True`` = the
+    file is a JSON *array* document (pandas ``orient="records"``) that
+    needs ``multiLine``; ``False`` = line-delimited; ``None`` = could
+    not probe (non-local path) — caller falls back to plan-level
+    detection. Driver-side, bounded: one open() of <=4 KiB.
+    """
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    try:
+        local = path.removeprefix("file://")
+        candidates = sorted(_glob.glob(local)) or [local]
+        first = candidates[0]
+        if os.path.isdir(first):
+            inner = sorted(
+                f for f in os.listdir(first) if not f.startswith((".", "_"))
+            )
+            if not inner:
+                return None
+            first = os.path.join(first, inner[0])
+        with open(first, "rb") as fh:
+            head = fh.read(4096).lstrip()
+        return head.startswith(b"[")
+    except OSError:
+        return None
+
+
 def read_json_records(
     spark: SparkSession,
     path: str,
@@ -91,18 +120,27 @@ def read_json_records(
     ``pd.read_json``].
 
     Reads JSONL and also ``orient="records"`` array files (the
-    reference's format) via ``multiLine`` fallback when the eager
-    schema probe comes back corrupt. Bad records are quarantined in
-    ``_corrupt_record`` instead of crashing the job (the reference
-    crashes on the first malformed message — SURVEY.md §1.3).
+    reference's format). Array files are detected up-front by probing
+    the first bytes for ``[`` — this works with or without an explicit
+    schema (the old corrupt-column heuristic was schema-inference-only:
+    with a schema Spark never synthesizes ``_corrupt_record``, and a
+    pretty-printed array silently read as one all-null row per line).
+    For non-local paths where the probe can't see the bytes, the
+    corrupt-column fallback still covers the inference case. Bad
+    records are quarantined in ``_corrupt_record`` instead of crashing
+    the job (the reference crashes on the first malformed message —
+    SURVEY.md §1.3).
     """
+    multiline = _probe_json_array(path)
     reader = spark.read
+    if multiline:
+        reader = reader.option("multiLine", True)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.json(path)
-    if "_corrupt_record" in df.columns and len(df.columns) == 1:
-        # Whole file parsed as corrupt => it is a JSON array document
-        # (pandas orient="records"), not JSONL: re-read multiLine.
+    if multiline is None and "_corrupt_record" in df.columns and len(df.columns) == 1:
+        # Probe couldn't run and the whole file parsed as corrupt => a
+        # JSON array document, not JSONL: re-read multiLine.
         reader = spark.read.option("multiLine", True)
         if schema is not None:
             reader = reader.schema(schema)

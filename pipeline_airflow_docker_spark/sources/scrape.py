@@ -1,9 +1,10 @@
 """S5: HTML scrape source [ref dags/scrap_to_kafka_to_mongo_pipeline.py:40-79].
 
 Reference behavior: BeautifulSoup over one page; emit one record per
-``<h1>`` (all of them) and per ``<a href>`` (first 10), each shaped
-``{type, index, content}`` with a 1-based per-type index
-[ref :57-61 (h1), :64-68 (links), :59,66 (enumerate start=1)].
+``<h1>`` (all of them, ``type="title"``) and per ``<a href>`` (first
+10, ``type="link"``), each shaped ``{type, index, content}`` with a
+1-based per-type index [ref :57-61 (h1 -> "title"), :64-68 (links),
+:59,66 (enumerate start=1)].
 
 Spark-first re-expression: the *corpus* is a DataFrame of pages (at
 scale: millions of crawled pages, one row each), and extraction is an
@@ -80,7 +81,7 @@ def parse_page(html: str | None, max_links: int = 10) -> list[dict]:
     parser = _H1AndLinks()
     parser.feed(html)
     out = [
-        {"type": "h1", "index": i, "content": text}
+        {"type": "title", "index": i, "content": text}
         for i, text in enumerate(parser.h1_texts, start=1)
     ]
     out += [

@@ -102,11 +102,18 @@ def test_json_records_reads_jsonl_and_array_files(spark, tmp_path):
     jsonl.write_text("\n".join(json.dumps(p) for p in POSTS))
     array_file = tmp_path / "recs_array.json"  # pandas orient="records"
     array_file.write_text(json.dumps(POSTS))
+    # Pretty-printed array: the record spans many lines, so only a
+    # multiLine read parses it. With an explicit schema Spark never
+    # synthesizes _corrupt_record, so this case needs the byte probe
+    # (a per-line read yields all-null rows, one per text line).
+    pretty_file = tmp_path / "recs_pretty.json"
+    pretty_file.write_text(json.dumps(POSTS, indent=2))
 
-    for path in (jsonl, array_file):
-        df = read_json_records(spark, str(path), schema=POSTS_SCHEMA)
-        assert df.count() == 3
-        assert {r["title"] for r in df.collect()} == {"alpha", "beta", "gamma"}
+    for path in (jsonl, array_file, pretty_file):
+        for schema in (POSTS_SCHEMA, None):
+            df = read_json_records(spark, str(path), schema=schema)
+            assert df.count() == 3, path
+            assert {r["title"] for r in df.collect()} == {"alpha", "beta", "gamma"}
 
     out = str(tmp_path / "json_out")
     write_json_records(read_json_records(spark, str(jsonl), POSTS_SCHEMA), out)
@@ -130,11 +137,12 @@ def test_read_rest_json_with_injected_fetch(spark):
 
 def test_parse_page_matches_reference_shape():
     recs = parse_page(HTML_PAGE)
-    # h1 text is stripped (ref :59) incl. nested tags; hrefs in order;
-    # anchor without href skipped; 1-based index per type (ref :58,65).
+    # h1 text is stripped (ref :59) incl. nested tags and emitted with
+    # the reference's type="title" tag; hrefs in order; anchor without
+    # href skipped; 1-based index per type (ref :58,65).
     assert recs[:2] == [
-        {"type": "h1", "index": 1, "content": "Main Title"},
-        {"type": "h1", "index": 2, "content": "Second Title"},
+        {"type": "title", "index": 1, "content": "Main Title"},
+        {"type": "title", "index": 2, "content": "Second Title"},
     ]
     assert [r["content"] for r in recs if r["type"] == "link"] == [
         "https://a.example/1", "/rel/2",

@@ -47,6 +47,24 @@ def test_salted_agg_spreads_hot_key(spark):
     assert hot_partials == 8  # hot key split across all 8 salt buckets
 
 
+def test_salted_agg_all_columns_are_keys(spark):
+    # Degenerate salt_on: every column is a grouping key, so there is
+    # no attribute column to hash. Must not raise (F.hash() with zero
+    # args does) — falls back to partition-id salting and still
+    # produces the exact distinct-key counts.
+    df = _skewed(spark).select("k").repartition(8)
+    out = {
+        r["k"]: r["n"]
+        for r in salted_agg(
+            df,
+            keys=["k"],
+            partial_aggs={"pc": F.count(F.lit(1))},
+            final_aggs={"n": F.sum("pc")},
+        ).collect()
+    }
+    assert out["hot"] == 900 and len(out) == 101
+
+
 def test_salted_join_matches_plain_join(spark):
     skewed = _skewed(spark)
     dim = spark.createDataFrame(
