@@ -4,10 +4,14 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the sum of per-query wall-clock seconds (action =
-count-collect of the full result, no driver materialization of wide
-rows). Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default *), SPARK_GRAFT_BENCH_KEYS (csv subset).
+``value`` is the sum of per-query wall-clock seconds; each per-query
+number is the MEDIAN of ``SPARK_GRAFT_BENCH_REPS`` (default 3) runs, so
+one-off codegen/compile warm-up on the first execution doesn't inflate
+round-over-round comparisons. The action is a count-collect of the full
+result (no driver materialization of wide rows). Env knobs:
+SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
+(default *), SPARK_GRAFT_BENCH_KEYS (csv subset),
+SPARK_GRAFT_BENCH_REPS (default 3).
 """
 
 from __future__ import annotations
@@ -15,7 +19,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -24,8 +31,9 @@ from pipeline_airflow_docker_spark import plans  # noqa: E402
 from pipeline_airflow_docker_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family (scan+filter, agg, joins of
-# each shape, window, top-k, set ops, functions, UDF boundary). Kept
-# stable across rounds so BENCH_r{N}.json is comparable.
+# each shape, window, top-k, set ops, functions, UDF boundary), plus
+# the LLM-pipeline north-star path (minhash dedup, chunking, ANN).
+# Kept stable across rounds so BENCH_r{N}.json is comparable.
 HEADLINE = [
     "q_agg_group",       # grouped multi-aggregate (flagship, TPC-H Q1 shape)
     "q_filter_pred",     # pushdown filter scan
@@ -40,16 +48,63 @@ HEADLINE = [
     "q_setops",          # intersect/except
     "q_fn_math",         # scalar function pack over widest table
     "q_udf",             # Arrow pandas-UDF boundary
+    "q_dedup_minhash",   # MinHash+LSH near-dup pairs over documents
+    "q_chunk_docs",      # document chunking (explode, zero shuffle)
+    "q_knn_lsh",         # sign-LSH bucketed ANN over embeddings
 ]
+
+# Partition-pruning bench: timed over a partitioned copy of `events`
+# written (untimed) to scratch. Guarded by a plan assertion — the bench
+# FAILS if the day filter stops pruning partitions, so SCALE.md §2's
+# layout claim is continuously proven, not just stated.
+PRUNE_KEY = "q_part_prune"
+
+
+def _explain(df) -> str:
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _setup_partitioned_events(spark, sf_dir: str, scratch: str) -> str:
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.catalog import table  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: PLC0415
+        write_parquet_partitioned,
+    )
+
+    path = os.path.join(scratch, "events_by_day")
+    events = table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    write_parquet_partitioned(events, path, ["event_date"])
+    return path
+
+
+def _partition_prune_query(spark, part_path: str):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return (
+        spark.read.parquet(part_path)
+        .where(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total_value"),
+        )
+    )
 
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
-    keys = [k for k in (keys_env.split(",") if keys_env else HEADLINE) if k in plans.QUERIES]
+    wanted = keys_env.split(",") if keys_env else [*HEADLINE, PRUNE_KEY]
+    keys = [k for k in wanted if k in plans.QUERIES or k == PRUNE_KEY]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,21 +126,58 @@ def main() -> int:
     warm.collect()
     plans.QUERIES["q_topk"](spark, sf_dir).collect()
 
+    scratch = None
+    part_path = None
+    if PRUNE_KEY in keys:
+        scratch = tempfile.mkdtemp(prefix="spark_graft_bench_")
+        part_path = _setup_partitioned_events(spark, sf_dir, scratch)
+        plan = _explain(_partition_prune_query(spark, part_path))
+        # Hard gate: the day predicate must prune at the partition
+        # level (PartitionFilters on event_date), not post-scan.
+        if "PartitionFilters" not in plan or "event_date" not in plan.split(
+            "PartitionFilters", 1
+        )[1].split("]", 1)[0]:
+            print(plan, file=sys.stderr)
+            raise AssertionError(
+                f"{PRUNE_KEY}: day filter is not a PartitionFilter — "
+                "partition pruning regressed"
+            )
+
+    def build(name: str):
+        if name == PRUNE_KEY:
+            return _partition_prune_query(spark, part_path)
+        return plans.QUERIES[name](spark, sf_dir)
+
     timings: dict[str, float] = {}
-    for name in keys:
-        t0 = time.time()
-        df = plans.QUERIES[name](spark, sf_dir)
-        # Action = JVM-side row count + xxhash64 checksum over every
-        # output column: forces full computation of the plan (a bare
-        # count() would let Catalyst prune computed columns away) while
-        # moving exactly one row to the driver (collect() of a wide
-        # result would time Python pickling, not the engine).
-        n = df.select(
-            _F.count(_F.lit(1)).alias("n"),
-            _F.sum(_F.xxhash64(*[_F.col(c) for c in df.columns])).alias("h"),
-        ).collect()[0]["n"]
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    try:
+        for name in keys:
+            samples = []
+            n = 0
+            for _ in range(reps):
+                t0 = time.time()
+                df = build(name)
+                # Action = JVM-side row count + xxhash64 checksum over
+                # every output column: forces full computation of the
+                # plan (a bare count() would let Catalyst prune computed
+                # columns away) while moving exactly one row to the
+                # driver (collect() of a wide result would time Python
+                # pickling, not the engine).
+                n = df.select(
+                    _F.count(_F.lit(1)).alias("n"),
+                    _F.sum(
+                        _F.xxhash64(*[_F.col(c) for c in df.columns])
+                    ).alias("h"),
+                ).collect()[0]["n"]
+                samples.append(time.time() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+            detail = "/".join(f"{s:.2f}" for s in samples)
+            print(
+                f"# {name}: {timings[name]}s median of [{detail}] ({n} rows)",
+                file=sys.stderr,
+            )
+    finally:
+        if scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -29,6 +29,23 @@ from pipeline_airflow_docker_spark.functions.text import (
 from pipeline_airflow_docker_spark.functions.vectors import cosine, sign_bucket
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the input has fewer partitions.
+
+    The shingle/signature stages are CPU-bound per-document work; a
+    small corpus read from one parquet file splits at row-group
+    granularity (often < cores), which serializes the whole signature
+    computation onto a few tasks (measured 7× slowdown at sf0.1 on
+    local[32]). At 100 TB the input has orders of magnitude more
+    splits than cores and this is a no-op — the guard keeps the extra
+    shuffle away from inputs that are already parallel enough."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(df: DataFrame, keys: list[str], order: list[Column] | None = None) -> DataFrame:
     """Keep one deterministic representative row per key group.
 
@@ -59,11 +76,13 @@ def ngram_jaccard_pairs(
     Quadratic within a block — the correctness baseline the LSH path
     (minhash_dup_pairs) is measured against. ``block_col`` bounds the
     self-join; at scale always block (or use minhash)."""
-    sh = df.select(
+    # Materialized once (localCheckpoint) — the self-join reads it
+    # twice and would otherwise recompute the shingle pipeline per side.
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
-    )
+    ).localCheckpoint()
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
@@ -90,14 +109,22 @@ def minhash_dup_pairs(
     verify. The only join is an equi-join on (band, key): the classic
     linear-shuffle LSH plan. P(candidate) = 1-(1-j^r)^b with r=2,b=4:
     j=0.8 -> 0.97, j=0.3 -> 0.31."""
-    sh = df.select(
+    # Materialize the shingle table once (localCheckpoint): it is read
+    # three times (signature, and both sides of the verify join), and
+    # without materialization Spark recomputes the CPU-heavy shingle
+    # pipeline per use — measured 9× end-to-end at sf0.1. At cluster
+    # scale the equivalent is persisting the signature table (or
+    # writing it to scratch parquet); the banded self-join then
+    # shuffles only (id, band, bkey) — never the shingle arrays, which
+    # a band explode would otherwise duplicate n_bands× through the
+    # shuffle.
+    sh = _spread(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
-    )
+    ).localCheckpoint()
     sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     bands = sig.select(
         "id",
-        "sh",
         F.posexplode(band_keys(F.col("sig"), n_bands, n_hashes // n_bands)).alias(
             "band", "bkey"
         ),
@@ -110,23 +137,22 @@ def minhash_dup_pairs(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jacc")
-    ).filter(F.col("jacc") >= threshold)
+    x, y = sh.alias("x"), sh.alias("y")
+    return (
+        cand.join(x, F.col("id_a") == F.col("x.id"))
+        .join(y, F.col("id_b") == F.col("y.id"))
+        .select("id_a", "id_b", jaccard(F.col("x.sh"), F.col("y.sh")).alias("jacc"))
+        .filter(F.col("jacc") >= threshold)
+    )
 
 
 def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document 32-bit SimHash (near-dup docs land within small
     Hamming distance; equal hashes are the degenerate block key)."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col).alias("id"), simhash32(tokens(text_col)).alias("simhash")
     )
 
@@ -138,13 +164,17 @@ def simhash_dup_pairs(
     Hamming distance d<=3 of a 32-bit hash matches exactly on at least
     one 16-bit half (pigeonhole), so candidates come from two equality
     joins instead of a cross join."""
+    # Materialized once (localCheckpoint): the two half-joins read this
+    # four times, and simhash32 (32 interpreted bit-votes per token) is
+    # by far the dominant cost — recomputing it per branch quadruples
+    # the work.
     sh = simhash_docs(df, id_col, text_col)
     sh = sh.select(
         "id",
         "simhash",
         (F.col("simhash") % 65536).alias("lo"),
         F.floor(F.col("simhash") / 65536).cast("long").alias("hi"),
-    )
+    ).localCheckpoint()
     def half_join(key: str) -> DataFrame:
         a, b = sh.alias("a"), sh.alias("b")
         return a.join(

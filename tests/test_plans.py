@@ -100,3 +100,34 @@ def test_asof_single_shuffle(spark, sf_dir, name):
     plan = explain(spark, sf_dir, name)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_partitioned_layout_prunes_day_filter(spark, sf_dir, tmp_path):
+    """The Phase-5 layout claim (SCALE.md §2) as a test: a day filter
+    over the partitioned `events` copy must appear as a
+    PartitionFilter on the scan (directory-level pruning), not a
+    post-scan Filter. At 100 TB this is the difference between reading
+    one day and reading the table. bench.py asserts the same gate at
+    sf0.1 before timing q_part_prune."""
+    import bench
+
+    part_path = bench._setup_partitioned_events(spark, sf_dir, str(tmp_path))
+    q = bench._partition_prune_query(spark, part_path)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "event_date" in pf
+    # and the result is the one-day aggregate, computed correctly
+    total = sum(r["n"] for r in q.collect())
+    from pyspark.sql import functions as F
+
+    from pipeline_airflow_docker_spark.catalog import table
+
+    expected = (
+        table(spark, sf_dir, "events")
+        .where(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
+        .count()
+    )
+    assert total == expected and total > 0
