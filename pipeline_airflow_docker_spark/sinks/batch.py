@@ -57,8 +57,9 @@ def write_jdbc_replace(
     ``mode("overwrite")`` == drop-and-recreate, the reference's
     ``if_exists="replace"``. Executors write concurrent batched
     inserts (``batchsize`` rows per round-trip); a driver jar for the
-    target database must be on the classpath (none is bundled in this
-    container — exercised in tests via the option-plumbing path).
+    target database must be on the classpath. Exercised live against
+    embedded Derby (ships with Spark) in ``tests/test_io_pipelines.py``
+    — write, read-back, and replace semantics all executed.
     """
     writer = (
         df.write.mode("overwrite")

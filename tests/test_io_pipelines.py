@@ -280,3 +280,37 @@ def test_kafka_to_mongo_bounded_decode(spark, tmp_path):
     m = pipelines.kafka_to_mongo(spark, msgs, POSTS_SCHEMA, coll)
     assert m == {"messages_processed": 2}
     assert spark.read.parquet(coll).count() == 2
+
+
+def test_jdbc_replace_live_roundtrip(spark, tmp_path):
+    """K6 executed against a real database, not just option-plumbed:
+    embedded Derby (bundled with Spark for the Hive metastore) gives a
+    genuine JDBC write path. Covers the reference's
+    to_sql(if_exists="replace") semantics [ref
+    dags/etl_data_pipeline.py:32-34]: create, read-back, then
+    drop-and-recreate on overwrite."""
+    from pipeline_airflow_docker_spark.sinks.batch import write_jdbc_replace
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def read_back():
+        df = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "cleaned")
+        )
+        for k, v in props.items():
+            df = df.option(k, v)
+        return df.load()
+
+    first = spark.createDataFrame(
+        [(1, 65.8), (2, 71.5), (3, 69.4)], "idx INT, height DOUBLE"
+    )
+    write_jdbc_replace(first, url, "cleaned", props)
+    assert sorted(r["idx"] for r in read_back().collect()) == [1, 2, 3]
+
+    replacement = spark.createDataFrame([(9, 60.0)], "idx INT, height DOUBLE")
+    write_jdbc_replace(replacement, url, "cleaned", props)
+    rows = read_back().collect()
+    assert [(r["idx"], r["height"]) for r in rows] == [(9, 60.0)]
