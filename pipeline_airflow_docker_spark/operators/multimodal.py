@@ -98,3 +98,86 @@ def extract_features(
             )
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame BINARY"
+
+
+def sample_frames(
+    df: DataFrame, frame_size: int = 64, every_k: int = 4, fake: bool = False
+) -> DataFrame:
+    """C5b: fixed-rate frame sampling over binary media — the video
+    analog of chunking (one input row -> many frame rows).
+
+    Real path: container demux + keyframe seek (stubbed, no codecs in
+    this environment). Fake path: fixed-size byte windows stand in for
+    decoded frames, keeping every ``every_k``-th window — identical
+    schema, explode shape, and Arrow batch mechanics. ``frame_idx`` is
+    the index within the *sampled* sequence.
+
+    ``mapInPandas`` (not a scalar UDF) because the operator is
+    one-to-many: each task turns its Arrow batch into a frame batch
+    without ever materializing all frames driver-side. The inner loop
+    is per-frame (bounded by output size), never per-byte — slicing is
+    zero-copy on the numpy buffer.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not fake:
+                _decode_media(pdf["content"].iloc[0], pdf["meta"].iloc[0]["mime"])
+            ids: list[int] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                buf = np.frombuffer(content, dtype=np.uint8)
+                n_frames = (buf.size + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_k):
+                    ids.append(doc_id)
+                    idxs.append(i // every_k)
+                    frames.append(buf[i * frame_size : (i + 1) * frame_size].tobytes())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id BIGINT, mime STRING, orig_bytes INT, resized BINARY"
+
+
+def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFrame:
+    """C5c: media downsampling behind the same codec boundary.
+
+    Real path: decode -> interpolate -> re-encode (stubbed). Fake
+    path: keep every ``factor``-th byte — the 1-D analog of
+    nearest-neighbor image downsampling, fully vectorized as a numpy
+    stride per row. Output stays a ``binary`` column so downstream
+    operators (feature extraction, frame sampling) compose unchanged.
+    """
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if not fake:
+                _decode_media(pdf["content"].iloc[0], pdf["meta"].iloc[0]["mime"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "orig_bytes": [len(c) for c in pdf["content"]],
+                    "resized": [
+                        np.frombuffer(c, dtype=np.uint8)[::factor].tobytes()
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)

@@ -24,6 +24,8 @@ from pipeline_airflow_docker_spark.operators.dedup import (
     simhash_dup_pairs,
 )
 from pipeline_airflow_docker_spark.operators.multimodal import (
+    resize_media,
+    sample_frames,
     attach_binary_payload,
     extract_features,
 )
@@ -523,6 +525,71 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(d), n_features=8, fake=True)
+
+
+# C5b frame sampling: one media row -> every 4th 64-byte frame. The
+# fake decode slices the binary payload, so the oracle can replay it
+# with VARCHAR slicing (the documents corpus is pure ASCII: byte
+# offsets == character offsets; frames compared by md5).
+@query(
+    "q_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT)))
+               AS raw_idx,
+             text
+      FROM documents
+    )
+    SELECT doc_id, CAST(raw_idx // 4 AS INT) AS frame_idx,
+           md5(substring(text, CAST(raw_idx * 64 + 1 AS INT), 64)) AS frame_md5,
+           CAST(length(substring(text, CAST(raw_idx * 64 + 1 AS INT), 64)) AS INT)
+             AS n_frame_bytes
+    FROM f WHERE raw_idx % 4 = 0
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        attach_binary_payload(d), frame_size=64, every_k=4, fake=True
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("int").alias("n_frame_bytes"),
+    )
+
+
+# C5c resize: keep every 4th byte (1-D nearest-neighbor analog);
+# oracle rebuilds the strided string with an ordered string_agg.
+@query(
+    "q_media_resize",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             array_to_string(list_transform(
+               range(1, length(text) + 1, 4),
+               i -> substring(text, CAST(i AS INT), 1)), '') AS resized
+      FROM documents
+    )
+    SELECT d.doc_id, 'text/plain' AS mime,
+           CAST(length(d.text) AS INT) AS orig_bytes,
+           md5(r.resized) AS resized_md5,
+           CAST(length(r.resized) AS INT) AS resized_bytes
+    FROM documents d JOIN r ON d.doc_id = r.doc_id
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    resized = resize_media(attach_binary_payload(d), factor=4, fake=True)
+    return resized.select(
+        "doc_id",
+        "mime",
+        "orig_bytes",
+        F.md5("resized").alias("resized_md5"),
+        F.length("resized").cast("int").alias("resized_bytes"),
+    )
 
 
 # --------------------------------------------------------------------

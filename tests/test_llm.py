@@ -16,6 +16,8 @@ from pipeline_airflow_docker_spark.operators.dedup import (
     simhash_dup_pairs,
 )
 from pipeline_airflow_docker_spark.operators.multimodal import (
+    resize_media,
+    sample_frames,
     attach_binary_payload,
     extract_features,
 )
@@ -113,6 +115,43 @@ def test_multimodal_fake_features_deterministic(spark, sf_dir):
         assert rows[k].feature == again[k].feature
         assert abs(sum(rows[k].feature) - 1.0) < 1e-9
         assert rows[k].n_bytes > 0
+
+
+def test_sample_frames_covers_all_bytes_every_kth(spark, sf_dir):
+    """Fake frame sampling: every 4th 64-byte window, frame_idx dense
+    in the sampled sequence, frames reassemble the right byte ranges."""
+    d = table(spark, sf_dir, "documents").limit(5)
+    src = {r.doc_id: r.text.encode() for r in d.collect()}
+    frames = sample_frames(
+        attach_binary_payload(d), frame_size=64, every_k=4, fake=True
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc.keys() == src.keys()
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(len(rows)))
+        for r in rows:
+            start = r.frame_idx * 4 * 64
+            assert bytes(r.frame) == src[doc_id][start : start + 64]
+
+
+def test_resize_media_strides_bytes(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(5)
+    src = {r.doc_id: r.text.encode() for r in d.collect()}
+    out = resize_media(attach_binary_payload(d), factor=4, fake=True).collect()
+    assert {r.doc_id for r in out} == src.keys()
+    for r in out:
+        assert bytes(r.resized) == src[r.doc_id][::4]
+        assert r.orig_bytes == len(src[r.doc_id])
+
+
+def test_frame_and_resize_real_decode_raises(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(1)
+    for op in (sample_frames, resize_media):
+        with pytest.raises(Exception, match="NotImplementedError|no codec"):
+            op(attach_binary_payload(d), fake=False).collect()
 
 
 def test_lang_id_schema_and_fallback(spark):
