@@ -231,4 +231,48 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_df(agg, output_mode="complete")
 
 
+# --------------------------------------------------------------------
+# Stream-stream interval join: click -> purchase attribution within 30
+# minutes per user. Both sides are live streams with watermarks; the
+# event-time range bound keeps join state finite (see streaming/
+# joins.py). Oracle: the identical interval join at rest.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.streaming.joins import (  # noqa: PLC0415
+        interval_join,
+    )
+
+    clicks = stream_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    purchases = stream_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    joined = interval_join(
+        clicks, purchases, key="user_id", upper="30 minutes", watermark="2 hours"
+    )
+    return run_to_df(
+        joined.select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.ts").alias("purchase_ts"),
+        ),
+        output_mode="append",
+        state_partitions=8,
+    )
+
+
 __all__ = ["latest_by_key"]

@@ -137,3 +137,29 @@ def test_stateful_running_totals_cross_batch(spark, sf_dir):
     }
     for k, counts in per_key.items():
         assert max(counts) == batch[k], f"cumulative total wrong for {k}"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Two live streams joined on key + event-time range must equal the
+    identical interval join at rest (unified semantics). Also pins the
+    state contract: without a time bound Spark would reject the query,
+    with it the join runs append-mode to completion."""
+    from pyspark.sql import functions as F
+
+    from pipeline_airflow_docker_spark.plans.streaming_q import (
+        q_stream_stream_join,
+    )
+
+    out = q_stream_stream_join(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").alias("a")
+    b = ev.where(F.col("event_type") == "purchase").alias("b")
+    batch = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 30 minutes")),
+    ).select(F.col("a.event_id").alias("click_id"), F.col("b.event_id").alias("purchase_id"))
+    got = {(r.click_id, r.purchase_id) for r in out.collect()}
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
