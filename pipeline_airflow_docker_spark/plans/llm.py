@@ -649,3 +649,97 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id")
     return hash_split(d, "doc_id")
+
+
+# --------------------------------------------------------------------
+# C8 end-to-end corpus clean (operators/corpus.py): quality gate ->
+# minhash near-dup pairs -> connected-components keep-min-id ->
+# deterministic split. The oracle replays every stage over the `kept`
+# subset (the minhash CTE block is reused with its source table
+# swapped), so the full pipeline is hash-checked, not just its parts.
+# --------------------------------------------------------------------
+_DD_QUALITY = f"""
+      SELECT doc_id,
+             round(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+                   + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                   + 0.3 * (1.0 - len(list_filter(toks, t -> t IN {_DD_STOP}))::DOUBLE / len(toks)),
+                   6) AS quality
+      FROM (SELECT doc_id, {_DD_TOKS} FROM documents)
+"""
+
+
+@query(
+    "q_corpus_clean",
+    oracle=f"""
+    WITH RECURSIVE
+    q AS ({_DD_QUALITY}),
+    kept AS (
+      SELECT d.doc_id, d.text, q.quality
+      FROM documents d JOIN q USING (doc_id) WHERE q.quality >= 0.6
+    ),
+    {_DD_MINHASH_PAIR_CTES.replace("FROM documents", "FROM kept").lstrip()},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (
+      SELECT k.doc_id,
+             LEAST(k.doc_id, COALESCE(MIN(r.peer), k.doc_id)) AS component
+      FROM kept k LEFT JOIN reach r ON k.doc_id = r.id
+      GROUP BY k.doc_id
+    )
+    SELECT doc_id, quality,
+           CASE WHEN {_DD_BUCKET1000} < 800 THEN 'train'
+                WHEN {_DD_BUCKET1000} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT k.doc_id, k.quality
+      FROM kept k JOIN comp c ON k.doc_id = c.doc_id AND k.doc_id = c.component
+    )
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.corpus import clean_corpus  # noqa: PLC0415
+
+    return clean_corpus(table(spark, sf_dir, "documents"), quality_min=0.6)
+
+
+# --------------------------------------------------------------------
+# C9 PII redaction (operators/redact.py): chained regex scrub in the
+# Java-regex/RE2 common subset; oracle replays the same chain with
+# DuckDB's 'g' flag. Redacted text compared by md5; n_pii counts the
+# replacement tokens in the final text (counting patterns on the raw
+# text would double-count — an SSN/IPv4 is also a phone-shaped run).
+# --------------------------------------------------------------------
+@query(
+    "q_redact_pii",
+    oracle=r"""
+    WITH r AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
+               '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+      FROM documents
+    )
+    SELECT doc_id, md5(redacted) AS redacted_md5,
+           CAST(len(regexp_extract_all(redacted, '<EMAIL>|<SSN>|<IPV4>|<PHONE>')) AS INT)
+             AS n_pii
+    FROM r
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.redact import redact_pii  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents")
+    out = redact_pii(d, text_col="text", out_col="redacted")
+    return out.select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"), "n_pii"
+    )

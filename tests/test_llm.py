@@ -305,3 +305,45 @@ def test_resolve_components_no_pairs_is_identity(spark):
         for r in resolve_components(nodes, pairs, id_col="doc_id").collect()
     }
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_clean_corpus_drops_low_quality_and_dups(spark):
+    from pipeline_airflow_docker_spark.operators.corpus import clean_corpus
+
+    rich = (
+        "the quick brown fox jumps over one lazy dog while seventeen "
+        "sparrows debate quantum economics beneath flowering chestnut trees "
+        "and distant ships signal across the harbor carrying spice cargo"
+    )
+    near_dup = rich + " tonight"
+    junk = "the the the the the"
+    docs = spark.createDataFrame(
+        [(1, rich), (2, near_dup), (3, junk), (10, "completely different words "
+          "about mountaineering routes with crampons ropes carabiners and "
+          "alpine weather forecasting models for winter expedition planning")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r.split for r in clean_corpus(docs, quality_min=0.3).collect()}
+    assert 3 not in out          # low quality gone
+    assert 2 not in out and 1 in out  # dup cluster keeps min id
+    assert 10 in out             # unrelated doc survives
+    assert set(out.values()) <= {"train", "val", "test"}
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from pipeline_airflow_docker_spark.operators.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server 192.168.0.1 leaked ssn 123-45-6789 yesterday"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
+    assert "jane" not in out[1].text and "555" not in out[1].text
+    assert "<IPV4>" in out[2].text and "<SSN>" in out[2].text
+    assert out[2].n_pii == 2
+    assert out[3].text == "no pii here at all" and out[3].n_pii == 0
