@@ -17,7 +17,9 @@ is used as a partition key on write.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.functions.text import seeded_md5
@@ -62,3 +64,34 @@ def hash_split(
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
     return df.withColumn(split_col, expr)
+
+
+def stratified_downsample(
+    df: DataFrame,
+    group_cols: str | Sequence[str],
+    n_per_group: int,
+    key_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Cap every group at ``n_per_group`` rows, chosen by hash order —
+    deterministic downsampling of over-represented strata (sources,
+    languages, domains) that `df.sampleBy` can't give you: the kept set
+    is stable across runs, engines, partitionings, and corpus growth
+    (a row's fate depends only on its own key hash rank within its
+    group, with the key itself breaking seeded-hash ties).
+
+    One shuffle on ``group_cols`` (the ranking window); no driver-side
+    sampling state. Heavily skewed strata make that window's partition
+    hot — at 100 TB pre-filter obviously-capped groups with an
+    approximate count, or use the two-pass per-mille variant
+    (hash_bucket < p) when an exact cap isn't required.
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*groups).orderBy(
+        seeded_md5(F.col(key_col).cast("string"), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n_per_group)
+        .drop("__rank")
+    )

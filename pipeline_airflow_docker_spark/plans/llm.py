@@ -743,3 +743,30 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.md5("redacted").alias("redacted_md5"), "n_pii"
     )
+
+
+# --------------------------------------------------------------------
+# C10 deterministic stratified downsampling: cap every (lang, source)
+# stratum at 5 docs by seeded-hash rank — the rebalancing pass for
+# over-represented sources. Oracle replays the identical window.
+# --------------------------------------------------------------------
+@query(
+    "q_downsample",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.splits import (  # noqa: PLC0415
+        stratified_downsample,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_downsample(d, ["lang", "source"], 5, key_col="doc_id")

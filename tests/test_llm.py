@@ -347,3 +347,19 @@ def test_redact_pii_patterns_and_counts(spark):
     assert "<IPV4>" in out[2].text and "<SSN>" in out[2].text
     assert out[2].n_pii == 2
     assert out[3].text == "no pii here at all" and out[3].n_pii == 0
+
+
+def test_stratified_downsample_caps_and_is_stable(spark):
+    from pipeline_airflow_docker_spark.operators.splits import (
+        stratified_downsample,
+    )
+
+    rows = [(i, "big" if i < 90 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "k BIGINT, grp STRING")
+    out = stratified_downsample(df, "grp", 5, key_col="k")
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 5, "small": 5}
+    # deterministic: same keys kept on re-run and under a different partitioning
+    a = sorted(r.k for r in out.collect())
+    b = sorted(r.k for r in stratified_downsample(df.repartition(7), "grp", 5, key_col="k").collect())
+    assert a == b
