@@ -59,6 +59,12 @@ HEADLINE = [
 # layout claim is continuously proven, not just stated.
 PRUNE_KEY = "q_part_prune"
 
+# Bucketed co-located join bench: lineitem and orders bucketed by
+# orderkey (untimed setup), then a fact-fact join + aggregate that must
+# plan with ZERO Exchange operators — the shuffle-free join bucketing
+# buys at 100 TB, asserted every bench run.
+BUCKET_KEY = "q_bucket_join"
+
 
 def _explain(df) -> str:
     return df.sparkSession._jvm.PythonSQLUtils.explainString(
@@ -96,6 +102,41 @@ def _partition_prune_query(spark, part_path: str):
     )
 
 
+def _setup_bucketed_tables(spark, sf_dir: str, scratch: str) -> None:
+    from pipeline_airflow_docker_spark.catalog import table  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.sinks.batch import write_bucketed  # noqa: PLC0415
+
+    for name, cols in (
+        ("lineitem", ["l_orderkey"]),
+        ("orders", ["o_orderkey"]),
+    ):
+        write_bucketed(
+            table(spark, sf_dir, name),
+            f"bench_{name}_b",
+            cols,
+            n_buckets=8,
+            sort_cols=cols,
+            path=os.path.join(scratch, f"{name}_b"),
+        )
+
+
+def _bucket_join_query(spark):
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    li = spark.table("bench_lineitem_b")
+    o = spark.table("bench_orders_b")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -103,8 +144,10 @@ def main() -> int:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
     keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
-    wanted = keys_env.split(",") if keys_env else [*HEADLINE, PRUNE_KEY]
-    keys = [k for k in wanted if k in plans.QUERIES or k == PRUNE_KEY]
+    wanted = keys_env.split(",") if keys_env else [*HEADLINE, PRUNE_KEY, BUCKET_KEY]
+    keys = [
+        k for k in wanted if k in plans.QUERIES or k in (PRUNE_KEY, BUCKET_KEY)
+    ]
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -128,8 +171,9 @@ def main() -> int:
 
     scratch = None
     part_path = None
-    if PRUNE_KEY in keys:
+    if PRUNE_KEY in keys or BUCKET_KEY in keys:
         scratch = tempfile.mkdtemp(prefix="spark_graft_bench_")
+    if PRUNE_KEY in keys:
         part_path = _setup_partitioned_events(spark, sf_dir, scratch)
         plan = _explain(_partition_prune_query(spark, part_path))
         # Hard gate: the day predicate must prune at the partition
@@ -142,15 +186,44 @@ def main() -> int:
                 f"{PRUNE_KEY}: day filter is not a PartitionFilter — "
                 "partition pruning regressed"
             )
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    if BUCKET_KEY in keys:
+        _setup_bucketed_tables(spark, sf_dir, scratch)
+        # The co-location demo needs the broadcast path off: at bench
+        # SF the orders side fits under the broadcast threshold, but at
+        # 100 TB neither side broadcasts — the property being proven is
+        # the Exchange-free sort-merge join. Scoped to this key only
+        # (set again around its timing below, restored in between).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = _explain(_bucket_join_query(spark))
+            # The final groupBy (not on the bucket key) legitimately
+            # shuffles its few aggregate rows; the JOIN subtree — in
+            # the formatted tree, everything under SortMergeJoin —
+            # must be Exchange-free.
+            tree = plan.split("\n\n")[0]
+            join_subtree = tree.split("SortMergeJoin", 1)[-1]
+            if "SortMergeJoin" not in tree or "Exchange" in join_subtree:
+                print(plan, file=sys.stderr)
+                raise AssertionError(
+                    f"{BUCKET_KEY}: bucketed fact-fact join shuffles its "
+                    "inputs — co-located join regressed"
+                )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
 
     def build(name: str):
         if name == PRUNE_KEY:
             return _partition_prune_query(spark, part_path)
+        if name == BUCKET_KEY:
+            return _bucket_join_query(spark)
         return plans.QUERIES[name](spark, sf_dir)
 
     timings: dict[str, float] = {}
     try:
         for name in keys:
+            if name == BUCKET_KEY:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             samples = []
             n = 0
             for _ in range(reps):
@@ -169,6 +242,10 @@ def main() -> int:
                     ).alias("h"),
                 ).collect()[0]["n"]
                 samples.append(time.time() - t0)
+            if name == BUCKET_KEY:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prev_bcast
+                )
             timings[name] = round(statistics.median(samples), 3)
             detail = "/".join(f"{s:.2f}" for s in samples)
             print(

@@ -21,6 +21,7 @@ from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: F401
     write_csv,
     write_jdbc_replace,
     write_json_records,
+    write_bucketed,
     write_kafka,
     write_parquet_partitioned,
 )

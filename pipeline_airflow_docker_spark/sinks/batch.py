@@ -130,3 +130,36 @@ def write_parquet_partitioned(
         .partitionBy(*partition_by)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Phase-5 layout sink: hash-bucketed table for co-located joins.
+
+    Two tables bucketed by the same key into the same bucket count
+    join with ZERO exchanges — rows with equal keys are already in
+    matching files. At 100 TB this removes the dominant cost of every
+    fact-fact join on the bucket key (both full-table shuffles);
+    the price is paid once at write time and amortized over every
+    downstream join/aggregation on that key. ``sort_cols`` pre-sorts
+    within buckets so sort-merge join skips its sort too.
+    Bucketed tables go through the session catalog (``saveAsTable``) —
+    bucket metadata lives there, plain ``.parquet(path)`` cannot
+    carry it.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)

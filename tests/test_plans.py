@@ -131,3 +131,46 @@ def test_partitioned_layout_prunes_day_filter(spark, sf_dir, tmp_path):
         .count()
     )
     assert total == expected and total > 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join claim as a test: lineitem and orders bucketed by
+    orderkey into the same bucket count must sort-merge join with ZERO
+    Exchange operators (broadcast disabled — at 100 TB neither fact
+    side broadcasts). bench.py asserts the same gate at sf0.1."""
+    import bench
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bench._setup_bucketed_tables(spark, sf_dir, str(tmp_path))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        q = bench._bucket_join_query(spark)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            q._jdf.queryExecution(), "formatted"
+        )
+        # The final groupBy (not on the bucket key) legitimately
+        # shuffles its few aggregate rows; the JOIN inputs must come
+        # straight off the bucketed scans with no Exchange below the
+        # SortMergeJoin in the plan tree.
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" in tree, plan
+        assert "Exchange" not in tree.split("SortMergeJoin", 1)[1], plan
+        # and the join result is right (vs the unbucketed plan)
+        from pyspark.sql import functions as F
+
+        from pipeline_airflow_docker_spark.catalog import table
+
+        li, o = table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders")
+        want = {
+            (r.o_orderpriority, r.n_items)
+            for r in li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"))
+            .collect()
+        }
+        got = {(r.o_orderpriority, r.n_items) for r in q.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("bench_lineitem_b", "bench_orders_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
