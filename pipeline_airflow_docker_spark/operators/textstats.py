@@ -10,7 +10,7 @@ fixed-shape combinations of identical operands).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.functions.text import (
@@ -109,4 +109,54 @@ def fingerprint(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_fp"),
         F.array_min(F.transform(sh, lambda s: seeded_md5(s, 0))).alias("rolling_fp"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smoothed idf:
+    ``ln((N+1)/(df+1)) + 1``, sklearn's convention).
+
+    Scale shape: explode -> (doc, term) count -> term document
+    frequency -> keyed join back on term -> per-doc top-k window.
+    Two keyed shuffles plus the ranking window; the corpus-size scalar
+    is a 1-row cross join (broadcast), never a driver round-trip in
+    the plan. Scores are rounded to 6 decimals *before* ranking so
+    ordering (and the cross-engine oracle hash) is immune to the
+    <=1-ulp libm log differences between engines; ties break on the
+    term string.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    tf = (
+        toks.select("id", F.explode("toks").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("dfreq") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(F.col("id").alias(id_col), "term", "tfidf")
     )

@@ -363,3 +363,20 @@ def test_stratified_downsample_caps_and_is_stable(spark):
     a = sorted(r.k for r in out.collect())
     b = sorted(r.k for r in stratified_downsample(df.repartition(7), "grp", 5, key_col="k").collect())
     assert a == b
+
+
+def test_tfidf_rare_terms_outrank_common(spark):
+    from pipeline_airflow_docker_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared zebra zebra"),
+            (2, "shared yak yak"),
+            (3, "shared wombat wombat"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = tfidf_top_terms(docs, k=1).collect()
+    # 'shared' appears in every doc (idf floor = 1, tfidf = 1); each
+    # doc's unique animal has tf=2 and idf ln(2)+1, so it must win.
+    assert {(r.doc_id, r.term) for r in out} == {(1, "zebra"), (2, "yak"), (3, "wombat")}
