@@ -54,3 +54,12 @@ def sign_bucket(a: Column, n_bits: int = 12) -> Column:
             F.pow(F.lit(2.0), i).cast("long"),
         ).otherwise(F.lit(0)),
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipeline_airflow_docker_spark.functions.vectors import cosine, sign_bucket
+from pipeline_airflow_docker_spark.functions.vectors import cosine, l2sq, sign_bucket
 
 
 def knn_cosine(
@@ -168,3 +168,81 @@ def knn_cosine_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the
+    trained coarse quantizer for `knn_cosine_ivf` (which accepts any
+    centroid set; its lowest-id anchors are the untrained default).
+
+    Per iteration: (1) assignment is a map-side fold over the
+    driver-resident centroid literal (same deployment shape as the IVF
+    quantizer — k*dim floats inlined into the plan, the corpus never
+    shuffles to be assigned); (2) the update step computes per-cluster
+    dimension means via posexplode + groupBy — one keyed shuffle of
+    (cluster, dim, partial-sum) rows, map-side combined, never the
+    vectors themselves. Driver traffic per iteration is k*dim means —
+    the centroids — which is the irreducible output of the step.
+
+    Deterministic: init = k lowest-id vectors, squared-L2 argmin with
+    ties to the lower cluster id, fixed iteration count (no
+    convergence-by-float-epsilon), so assignments reproduce across
+    runs, partitionings, and engines. Empty clusters keep their
+    previous centroid.
+    """
+    cents: list[list[float]] = [
+        [float(x) for x in r[1]]
+        for r in df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    ]
+
+    def assign_expr(cent_list: list[list[float]]):
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("cid"),
+                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                )
+                for i, cv in enumerate(cent_list)
+            ]
+        )
+        init = F.struct(
+            F.lit(float("inf")).alias("best"),
+            F.lit(-1).cast("int").alias("cid"),
+        )
+        return F.aggregate(
+            cent_arr,
+            init,
+            lambda acc, c: F.when(
+                l2sq(F.col(vec_col), c["cv"]) < acc["best"],
+                F.struct(
+                    l2sq(F.col(vec_col), c["cv"]).alias("best"),
+                    c["cid"].alias("cid"),
+                ),
+            ).otherwise(acc),
+        )["cid"]
+
+    for _ in range(n_iter):
+        assigned = df.select(
+            F.col(id_col), F.col(vec_col), assign_expr(cents).alias("cluster")
+        )
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # empty clusters keep centroid
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
+        for cid, dims in by_cluster.items():
+            new_cents[cid] = [dims[p] for p in range(len(dims))]
+        cents = new_cents
+
+    return df.select(F.col(id_col), assign_expr(cents).alias("cluster"))

@@ -30,6 +30,7 @@ from pipeline_airflow_docker_spark.operators.multimodal import (
     extract_features,
 )
 from pipeline_airflow_docker_spark.operators.similarity import (
+    kmeans_lloyd,
     knn_cosine,
     knn_cosine_bucketed,
     knn_cosine_ivf,
@@ -397,6 +398,15 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cosine_ivf(
         e.filter(F.col("vec_id") < 10), e, k=3, n_anchors=8, n_probe=2
     )
+
+
+# C3b k-means quantizer training (rows-only: the iterative Lloyd's
+# loop is not SQL-expressible; assignments are verified against a
+# numpy reference implementation in tests/test_llm.py).
+@query("q_kmeans")
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(e, k=8, n_iter=3)
 
 
 # --------------------------------------------------------------------

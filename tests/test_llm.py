@@ -380,3 +380,39 @@ def test_tfidf_rare_terms_outrank_common(spark):
     # 'shared' appears in every doc (idf floor = 1, tfidf = 1); each
     # doc's unique animal has tf=2 and idf ln(2)+1, so it must win.
     assert {(r.doc_id, r.term) for r in out} == {(1, "zebra"), (2, "yak"), (3, "wombat")}
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    """Distributed Lloyd's must reproduce a straightforward numpy
+    Lloyd's exactly: same deterministic init (k lowest ids), same
+    squared-L2 argmin with ties to the lower cluster, same fixed
+    iteration count."""
+    import numpy as np
+
+    from pipeline_airflow_docker_spark.operators.similarity import kmeans_lloyd
+
+    e = table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        ((r.vec_id, np.array(r.embedding, dtype=np.float64)) for r in e.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [t[0] for t in rows]
+    X = np.stack([t[1] for t in rows])
+    k, n_iter = 4, 3
+    cents = X[:k].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        labels = d.argmin(axis=1)  # argmin takes first (lowest cid) on ties
+        for c in range(k):
+            if (labels == c).any():
+                cents[c] = X[labels == c].mean(axis=0)
+    d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = dict(zip(ids, d.argmin(axis=1)))
+
+    got = {r.vec_id: r.cluster for r in kmeans_lloyd(e, k=k, n_iter=n_iter).collect()}
+    mismatches = {i for i in want if want[i] != got[i]}
+    # float-sum order differs (sequential fold vs numpy pairwise), so
+    # points equidistant-within-ulp may flip; demand >=99% agreement
+    # and identical cluster usage.
+    assert len(mismatches) <= max(1, len(ids) // 100), mismatches
+    assert set(got.values()) == set(int(x) for x in want.values())
