@@ -46,9 +46,13 @@ def clean_corpus(
     anywhere in its dup cluster, including transitively).
     """
     q = quality_score(df, id_col, text_col)
+    # Materialized once: the kept set feeds pair generation, the
+    # component node list, and the final representative join — without
+    # this the scan + quality join recomputes per consumer (same
+    # rationale as the signature-table checkpoint in dedup.py).
     kept = df.join(
         q.filter(F.col("quality") >= quality_min), on=id_col, how="inner"
-    )
+    ).localCheckpoint()
     pairs = minhash_dup_pairs(
         kept, id_col, text_col, threshold=jaccard_threshold
     ).select("id_a", "id_b")

@@ -126,3 +126,62 @@ def test_union_ragged_totality(spark, left, right):
     # null-fill lands exactly on the side that lacked the column
     assert u.filter(F.col("flag").isNull()).count() == len(left)
     assert u.filter(F.col("name").isNull()).count() == len(right)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                whitelist_characters="@.+-()<>_%",
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@SLOW
+def test_redact_pii_idempotent(spark, texts):
+    """redact(redact(X)) == redact(X): replacement tokens contain no
+    digits or '@', so no pattern can ever match already-redacted
+    output."""
+    from pipeline_airflow_docker_spark.operators.redact import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    once = redact_pii(df).select("doc_id", "text")
+    twice = redact_pii(once).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda r: r[0],
+    ),
+    cap=st.integers(1, 5),
+)
+@SLOW
+def test_stratified_downsample_properties(spark, rows, cap):
+    """Cap respected per group; output ⊆ input; deterministic under
+    re-partitioning."""
+    from pipeline_airflow_docker_spark.operators.splits import (
+        stratified_downsample,
+    )
+
+    df = spark.createDataFrame(rows, "k BIGINT, grp STRING")
+    out = stratified_downsample(df, "grp", cap, key_col="k")
+    got = [(r.k, r.grp) for r in out.collect()]
+    per_group: dict[str, int] = {}
+    for _, g in got:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert all(n <= cap for n in per_group.values())
+    assert set(got) <= set(rows)
+    for g in {r[1] for r in rows}:
+        assert per_group.get(g, 0) == min(cap, sum(1 for r in rows if r[1] == g))
+    again = stratified_downsample(df.repartition(5), "grp", cap, key_col="k")
+    assert sorted(got) == sorted((r.k, r.grp) for r in again.collect())
