@@ -118,14 +118,16 @@ def tfidf_top_terms(
     """Top-``k`` TF-IDF terms per document (smoothed idf:
     ``ln((N+1)/(df+1)) + 1``, sklearn's convention).
 
-    Scale shape: explode -> (doc, term) count -> term document
-    frequency -> keyed join back on term -> per-doc top-k window.
-    Two keyed shuffles plus the ranking window; the corpus-size scalar
-    is a 1-row cross join (broadcast), never a driver round-trip in
-    the plan. Scores are rounded to 6 decimals *before* ranking so
-    ordering (and the cross-engine oracle hash) is immune to the
-    <=1-ulp libm log differences between engines; ties break on the
-    term string.
+    Scale shape: explode -> (doc, term) count -> document frequency as
+    a COUNT window over the tf rows partitioned by term (one row per
+    (doc, term), so the window count IS the doc frequency — saves the
+    tf-to-dfreq self-join and its extra exchanges) -> per-doc top-k
+    window. Three keyed shuffles total; the corpus-size scalar is a
+    1-row broadcast cross join (plans as a single-row BNLJ — the
+    benign kind), never a driver round-trip in the plan. Scores are
+    rounded to 6 decimals *before* ranking so ordering (and the
+    cross-engine oracle hash) is immune to the <=1-ulp libm log
+    differences between engines; ties break on the term string.
     """
     toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks"))
     tf = (
@@ -133,10 +135,11 @@ def tfidf_top_terms(
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "dfreq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
             "id",
