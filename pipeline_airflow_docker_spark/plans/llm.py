@@ -565,7 +565,32 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")
+# The fake decode is deterministic byte math (mean + 8-bucket byte
+# histogram), so even the Arrow mapInPandas path is hash-checked: the
+# oracle replays it byte-for-byte from the ASCII text via ord().
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents
+    ),
+    byt AS (
+      SELECT doc_id, ord(substring(text, CAST(i AS INT), 1)) AS byte FROM pos
+    ),
+    agg AS (SELECT doc_id, COUNT(*) AS n_bytes, SUM(byte) AS s FROM byt GROUP BY doc_id),
+    hist AS (SELECT doc_id, byte % 8 AS bucket, COUNT(*) AS c FROM byt GROUP BY 1, 2),
+    buckets AS (SELECT doc_id, n_bytes, s, unnest(range(0, 8)) AS bucket FROM agg),
+    filled AS (
+      SELECT b.doc_id, b.bucket, b.n_bytes, b.s, COALESCE(h.c, 0) AS c
+      FROM buckets b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bucket = b.bucket
+    )
+    SELECT doc_id, 'text/plain' AS mime, CAST(n_bytes AS INT) AS n_bytes,
+           s::DOUBLE / n_bytes AS mean_byte,
+           array_agg(c::DOUBLE / n_bytes ORDER BY bucket) AS feature
+    FROM filled
+    GROUP BY doc_id, n_bytes, s
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return extract_features(attach_binary_payload(d), n_features=8, fake=True)
