@@ -708,6 +708,37 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# B17b map functions: construct (create_map), merge (map_concat with a
+# JSON-derived map<string,string>), filter (map_filter), and explode
+# to (key, value) rows. The oracle replays the exploded form as a
+# UNION ALL of the constructed entries plus json_keys expansion.
+# --------------------------------------------------------------------
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id, 'day' AS key, CAST(CAST(ts AS DATE) AS VARCHAR) AS value
+    FROM events
+    UNION ALL
+    SELECT event_id, 'type', event_type FROM events
+    UNION ALL
+    SELECT e.event_id, k.key, json_extract_string(e.props, '$.' || k.key)
+    FROM events e, unnest(json_keys(e.props)) k(key)
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    built = F.create_map(
+        F.lit("day"), F.to_date("ts").cast("string"),
+        F.lit("type"), F.col("event_type"),
+    )
+    parsed = F.from_json("props", "map<string,string>")
+    merged = F.map_filter(
+        F.map_concat(built, parsed), lambda k, v: v.isNotNull()
+    )
+    return e.select("event_id", F.explode(merged).alias("key", "value"))
+
+
+# --------------------------------------------------------------------
 # B18 subqueries (scalar + correlated EXISTS) through the SQL entry
 # point — the identical ANSI text runs on both engines; Catalyst
 # decorrelates the EXISTS into a semi join.
