@@ -19,3 +19,43 @@ from pipeline_airflow_docker_spark.operators.enrich import (  # noqa: F401
 )
 from pipeline_airflow_docker_spark.operators.combine import union_ragged  # noqa: F401
 from pipeline_airflow_docker_spark.operators.upsert import latest_by_key  # noqa: F401
+from pipeline_airflow_docker_spark.operators.chunking import chunk_tokens  # noqa: F401
+from pipeline_airflow_docker_spark.operators.corpus import clean_corpus  # noqa: F401
+from pipeline_airflow_docker_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    embedding_dup_pairs,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    resolve_components,
+    simhash_docs,
+    simhash_dup_pairs,
+)
+from pipeline_airflow_docker_spark.operators.multimodal import (  # noqa: F401
+    attach_binary_payload,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+from pipeline_airflow_docker_spark.operators.redact import redact_pii  # noqa: F401
+from pipeline_airflow_docker_spark.operators.similarity import (  # noqa: F401
+    kmeans_lloyd,
+    knn_cosine,
+    knn_cosine_bucketed,
+    knn_cosine_ivf,
+)
+from pipeline_airflow_docker_spark.operators.skew import (  # noqa: F401
+    salted_agg,
+    salted_join,
+)
+from pipeline_airflow_docker_spark.operators.splits import (  # noqa: F401
+    hash_split,
+    stratified_downsample,
+)
+from pipeline_airflow_docker_spark.operators.textstats import (  # noqa: F401
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    tfidf_top_terms,
+    token_counts,
+)
