@@ -528,6 +528,39 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# B12b time-based RANGE frame: trailing-1-hour rolling sum per user.
+# Spark range frames need a numeric ordering column, so the frame runs
+# over unix_micros(ts) with microsecond bounds — exactly DuckDB's
+# INTERVAL arithmetic (its timestamps are microseconds), so sub-second
+# event times cannot drift the frame boundary between engines.
+# --------------------------------------------------------------------
+@query(
+    "q_win_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_1h
+    FROM events
+    """,
+)
+def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("rolling_1h"),
+    )
+
+
+# --------------------------------------------------------------------
 # B13 set ops: intersect + except over distinct key sets, tagged and
 # stacked into one result.
 # --------------------------------------------------------------------
