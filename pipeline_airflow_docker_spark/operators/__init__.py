@@ -21,14 +21,26 @@ from pipeline_airflow_docker_spark.operators.combine import union_ragged  # noqa
 from pipeline_airflow_docker_spark.operators.upsert import latest_by_key  # noqa: F401
 from pipeline_airflow_docker_spark.operators.chunking import chunk_tokens  # noqa: F401
 from pipeline_airflow_docker_spark.operators.corpus import clean_corpus  # noqa: F401
+from pipeline_airflow_docker_spark.operators.decontam import (  # noqa: F401
+    contaminated_ids,
+    decontaminate,
+)
 from pipeline_airflow_docker_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
     embedding_dup_pairs,
     minhash_dup_pairs,
+    minhash_incremental,
     ngram_jaccard_pairs,
     resolve_components,
     simhash_docs,
     simhash_dup_pairs,
+)
+from pipeline_airflow_docker_spark.operators.embeddings import (  # noqa: F401
+    l2_normalize,
+    quantize_int8,
+)
+from pipeline_airflow_docker_spark.operators.packing import (  # noqa: F401
+    pack_sequences,
 )
 from pipeline_airflow_docker_spark.operators.multimodal import (  # noqa: F401
     attach_binary_payload,
@@ -55,6 +67,7 @@ from pipeline_airflow_docker_spark.operators.textstats import (  # noqa: F401
     fingerprint,
     lang_id,
     quality_score,
+    repetition_stats,
     text_stats,
     tfidf_top_terms,
     token_counts,

@@ -95,6 +95,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, sh) distinct-shingle table, materialized once
+    (localCheckpoint): downstream LSH reads it several times
+    (signature + both sides of the verify join), and without
+    materialization Spark recomputes the CPU-heavy shingle pipeline
+    per use — measured 9× end-to-end at sf0.1. At cluster scale the
+    equivalent is persisting the signature table (or writing it to
+    scratch parquet)."""
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
+    ).localCheckpoint()
+
+
+def _band_table(sh: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """(id, band, bkey) LSH band keys from the shingle table. Only
+    these short keys ever go through the candidate-join shuffle — never
+    the shingle arrays, which a band explode would otherwise duplicate
+    n_bands× through the shuffle."""
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    return sig.select(
+        "id",
+        F.posexplode(band_keys(F.col("sig"), n_bands, n_hashes // n_bands)).alias(
+            "band", "bkey"
+        ),
+    )
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -109,26 +137,8 @@ def minhash_dup_pairs(
     verify. The only join is an equi-join on (band, key): the classic
     linear-shuffle LSH plan. P(candidate) = 1-(1-j^r)^b with r=2,b=4:
     j=0.8 -> 0.97, j=0.3 -> 0.31."""
-    # Materialize the shingle table once (localCheckpoint): it is read
-    # three times (signature, and both sides of the verify join), and
-    # without materialization Spark recomputes the CPU-heavy shingle
-    # pipeline per use — measured 9× end-to-end at sf0.1. At cluster
-    # scale the equivalent is persisting the signature table (or
-    # writing it to scratch parquet); the banded self-join then
-    # shuffles only (id, band, bkey) — never the shingle arrays, which
-    # a band explode would otherwise duplicate n_bands× through the
-    # shuffle.
-    sh = _spread(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
-    ).localCheckpoint()
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    bands = sig.select(
-        "id",
-        F.posexplode(band_keys(F.col("sig"), n_bands, n_hashes // n_bands)).alias(
-            "band", "bkey"
-        ),
-    )
+    sh = _shingle_table(df, id_col, text_col, n)
+    bands = _band_table(sh, n_hashes, n_bands)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -146,6 +156,54 @@ def minhash_dup_pairs(
         .join(y, F.col("id_b") == F.col("y.id"))
         .select("id_a", "id_b", jaccard(F.col("x.sh"), F.col("y.sh")).alias("jacc"))
         .filter(F.col("jacc") >= threshold)
+    )
+
+
+def minhash_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: rows of ``new_df`` that are NOT near-dups
+    (MinHash-LSH candidates verified at Jaccard >= ``threshold``) of
+    any row already in ``corpus_df``.
+
+    This is the continuous-ingestion shape of corpus dedup: the
+    existing corpus' band keys are computed once (in production,
+    persisted and appended batch-over-batch — signatures are
+    content-addressed so they never need recomputation) and each new
+    batch joins only new-side × corpus-side band keys. The shuffle is
+    keyed on (band, bkey) and linear in batch+corpus size; no
+    new-vs-new comparison happens here (run minhash_dup_pairs within
+    the batch for that), and nothing ever cross-joins.
+    """
+    new_sh = _shingle_table(new_df, id_col, text_col, n)
+    corpus_sh = _shingle_table(corpus_df, id_col, text_col, n)
+    cand = (
+        _band_table(new_sh, n_hashes, n_bands)
+        .alias("a")
+        .join(
+            _band_table(corpus_sh, n_hashes, n_bands).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.id").alias("id_new"), F.col("b.id").alias("id_old"))
+        .dropDuplicates(["id_new", "id_old"])
+    )
+    dup_ids = (
+        cand.join(new_sh.alias("x"), F.col("id_new") == F.col("x.id"))
+        .join(corpus_sh.alias("y"), F.col("id_old") == F.col("y.id"))
+        .filter(jaccard(F.col("x.sh"), F.col("y.sh")) >= threshold)
+        .select(F.col("id_new").alias("__dup_id"))
+        .distinct()
+    )
+    return new_df.join(
+        dup_ids, new_df[id_col] == dup_ids["__dup_id"], "left_anti"
     )
 
 

@@ -112,6 +112,52 @@ def fingerprint(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    top_frac_max: float = 0.20,
+    dup_frac_max: float = 0.50,
+) -> DataFrame:
+    """Gopher-style repetition signals per document: the fraction of
+    token ``n``-grams taken by the single most frequent n-gram
+    (``top_gram_frac``) and the fraction belonging to any n-gram that
+    occurs more than once (``dup_gram_frac``), plus the resulting
+    ``keep`` verdict. Boilerplate, keyword-stuffed, and looping
+    machine-generated text scores high on both; the thresholds are the
+    knobs a corpus-cleaning pipeline tunes per source.
+
+    Scale shape: explode n-grams -> count per (doc, gram) -> one more
+    grouped aggregate per doc. Both aggregates are partial-agg
+    (map-side combine) friendly and key on doc id, so the shuffle is
+    linear in corpus size and skew-free (a document's grams all hash
+    to its own key). Integer counts; two double divisions at the end —
+    bit-reproducible cross-engine.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(text_col), n)).alias("g"),
+    )
+    per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = per_gram.groupBy("id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_cnt"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "dup_cnt"
+        ),
+    )
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_grams")
+    dup_frac = F.col("dup_cnt").cast("double") / F.col("n_grams")
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        top_frac.alias("top_gram_frac"),
+        dup_frac.alias("dup_gram_frac"),
+        ((top_frac <= top_frac_max) & (dup_frac <= dup_frac_max)).alias("keep"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:

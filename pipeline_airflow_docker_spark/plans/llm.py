@@ -839,3 +839,180 @@ def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return stratified_downsample(d, ["lang", "source"], 5, key_col="doc_id")
+
+
+# --------------------------------------------------------------------
+# C11 sequence packing (operators/packing.py): concat-and-cut GPT-style
+# layout — per-language exclusive running token sum, cut every 256
+# tokens. Oracle replays the identical window arithmetic.
+# --------------------------------------------------------------------
+@query(
+    "q_pack_sequences",
+    oracle="""
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(start / 256) AS INT) AS pack_id,
+           CAST(start % 256 AS INT) AS pack_offset
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM (SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+            FROM documents)
+    )
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.functions.text import tokens  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.operators.packing import (  # noqa: PLC0415
+        pack_sequences,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        d, "n_tokens", 256, part_cols=("lang",), order_cols=("doc_id",)
+    )
+
+
+# --------------------------------------------------------------------
+# C12 benchmark decontamination (operators/decontam.py): drop training
+# docs sharing any token 3-gram with the benchmark set (stand-in
+# benchmark: doc_id % 97 == 0 — a small deterministic eval slice).
+# --------------------------------------------------------------------
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, {_DD_SHINGLES3}
+      FROM (SELECT doc_id, {_DD_TOKS} FROM documents)
+    ),
+    bg AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 97 = 0),
+    cg AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 97 <> 0),
+    bad AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g))
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.decontam import (  # noqa: PLC0415
+        decontaminate,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=3).select(
+        "doc_id", "lang", "source"
+    )
+
+
+# --------------------------------------------------------------------
+# C13 repetition quality filter (operators/textstats.py): Gopher-style
+# top-bigram / duplicate-bigram fractions + keep verdict. Oracle
+# replays the identical two-level aggregate.
+# --------------------------------------------------------------------
+@query(
+    "q_repetition",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> concat_ws(' ', toks[i], toks[i+1]))) AS g
+      FROM tok
+    ),
+    pg AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY doc_id, g),
+    a AS (
+      SELECT doc_id, SUM(cnt) AS n_grams, MAX(cnt) AS top_cnt,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+      FROM pg GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           top_cnt::DOUBLE / n_grams AS top_gram_frac,
+           dup_cnt::DOUBLE / n_grams AS dup_gram_frac,
+           (top_cnt::DOUBLE / n_grams <= 0.20
+            AND dup_cnt::DOUBLE / n_grams <= 0.50) AS keep
+    FROM a
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.textstats import (  # noqa: PLC0415
+        repetition_stats,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text", n=2)
+
+
+# --------------------------------------------------------------------
+# C14 embedding normalization + int8 quantization
+# (operators/embeddings.py): per-vector absmax scale, half-up int8
+# elements, L2 norm, unit vector — all sequential-fold/elementwise
+# double math, bit-identical in the oracle.
+# --------------------------------------------------------------------
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx,
+             {_DD_DOT.format(a="embedding", b="embedding")} AS n2
+      FROM embeddings
+    )
+    SELECT vec_id,
+           mx / 127.0 AS scale,
+           CASE WHEN mx > 0
+                THEN list_transform(embedding,
+                       x -> CAST(floor(x::DOUBLE / (mx / 127.0) + 0.5) AS INT))
+                ELSE list_transform(embedding, x -> 0) END AS q,
+           sqrt(n2) AS vnorm,
+           CASE WHEN sqrt(n2) > 0
+                THEN list_transform(embedding, x -> x::DOUBLE / sqrt(n2))
+                ELSE list_transform(embedding, x -> 0.0) END AS unit
+    FROM b
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.embeddings import (  # noqa: PLC0415
+        l2_normalize,
+        quantize_int8,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    out = l2_normalize(quantize_int8(e, "embedding"), "embedding", "unit")
+    return out.select("vec_id", "scale", "q", "vnorm", "unit")
+
+
+# --------------------------------------------------------------------
+# C15 incremental dedup (operators/dedup.py::minhash_incremental):
+# new docs (odd ids — the arriving batch) kept only if not a verified
+# MinHash near-dup of the existing corpus (even ids). The oracle reuses
+# the full minhash pair CTEs and keeps only cross-parity hits.
+# --------------------------------------------------------------------
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_DD_MINHASH_PAIR_CTES},
+    bad AS (
+      SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+      FROM pairs WHERE (id_a % 2) <> (id_b % 2)
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_incremental,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    return minhash_incremental(
+        new, corpus, "doc_id", "text", n=3, n_hashes=8, n_bands=4, threshold=0.8
+    ).select("doc_id", "lang", "source")

@@ -416,3 +416,133 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     # and identical cluster usage.
     assert len(mismatches) <= max(1, len(ids) // 100), mismatches
     assert set(got.values()) == set(int(x) for x in want.values())
+
+
+def test_pack_sequences_layout(spark):
+    """Concat-and-cut: offsets advance by token counts, wrap at
+    seq_len, and packing depends only on the deterministic order."""
+    from pipeline_airflow_docker_spark.operators.packing import pack_sequences
+
+    rows = [(i, 30) for i in range(10)]  # 300 tokens total
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = pack_sequences(df, "n_tokens", 100, order_cols=("doc_id",))
+    got = {r.doc_id: (r.pack_id, r.pack_offset) for r in out.collect()}
+    # doc 0 starts at 0; doc 3 starts at 90 (pack 0, offset 90) and
+    # straddles into pack 1; doc 4 starts at 120 -> pack 1 offset 20.
+    assert got[0] == (0, 0)
+    assert got[3] == (0, 90)
+    assert got[4] == (1, 20)
+    assert got[9] == (2, 70)
+    with pytest.raises(ValueError):
+        pack_sequences(df, "n_tokens", 0)
+
+
+def test_pack_sequences_partition_isolation(spark):
+    """part_cols pack independently: each group restarts at pack 0."""
+    from pipeline_airflow_docker_spark.operators.packing import pack_sequences
+
+    rows = [("en", 1, 60), ("en", 2, 60), ("de", 1, 60)]
+    df = spark.createDataFrame(rows, "lang string, doc_id int, n_tokens int")
+    out = pack_sequences(
+        df, "n_tokens", 100, part_cols=("lang",), order_cols=("doc_id",)
+    )
+    got = {(r.lang, r.doc_id): (r.pack_id, r.pack_offset) for r in out.collect()}
+    assert got[("en", 1)] == (0, 0)
+    assert got[("en", 2)] == (0, 60)
+    assert got[("de", 1)] == (0, 0)
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    """A corpus doc sharing a 3-gram with the benchmark is dropped;
+    disjoint docs survive."""
+    from pipeline_airflow_docker_spark.operators.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words appear here only"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox puzzles researchers")], "doc_id int, text string"
+    )
+    kept = {r.doc_id for r in decontaminate(corpus, bench, "doc_id", "text").collect()}
+    assert kept == {2}
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark, sf_dir):
+    """Scale shape: the benchmark shingle join must broadcast the
+    benchmark side — the 100 TB corpus never shuffles for the probe."""
+    d = table(spark, sf_dir, "documents")
+    from pipeline_airflow_docker_spark.operators.decontam import decontaminate
+
+    out = decontaminate(
+        d.filter(F.col("doc_id") % 97 != 0),
+        d.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    from pipeline_airflow_docker_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "all these tokens differ from one another entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert not got[1].keep and got[1].top_gram_frac == 1.0
+    assert got[2].keep and got[2].dup_gram_frac == 0.0
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    """Quantized elements stay in [-127,127]; dequantized error is at
+    most scale/2 per element; zero vectors are safe."""
+    from pipeline_airflow_docker_spark.operators.embeddings import (
+        l2_normalize,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    q1, s1 = got[1].q, got[1].scale
+    assert all(-127 <= x <= 127 for x in q1)
+    for orig, qv in zip([0.5, -1.0, 0.25], q1):
+        assert abs(qv * s1 - orig) <= s1 / 2 + 1e-12
+    assert got[2].q == [0, 0, 0] and got[2].scale == 0.0
+
+    unit = {r.vec_id: r.unit for r in l2_normalize(df).collect()}
+    assert abs(sum(x * x for x in unit[1]) - 1.0) < 1e-9
+    assert unit[2] == [0.0, 0.0, 0.0]
+
+
+def test_minhash_incremental_drops_cross_batch_dups(spark):
+    """A new doc nearly identical to a corpus doc is dropped; a fresh
+    doc survives; corpus rows are never returned."""
+    from pipeline_airflow_docker_spark.operators.dedup import minhash_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "totally different corpus content here")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + " lambda"), (3, "brand new unique never seen text")],
+        "doc_id int, text string",
+    )
+    kept = {
+        r.doc_id
+        for r in minhash_incremental(new, corpus, "doc_id", "text").collect()
+    }
+    assert kept == {3}
