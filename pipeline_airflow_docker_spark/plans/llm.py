@@ -1016,3 +1016,52 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental(
         new, corpus, "doc_id", "text", n=3, n_hashes=8, n_bands=4, threshold=0.8
     ).select("doc_id", "lang", "source")
+
+
+# --------------------------------------------------------------------
+# C16 semantic dedup (SemDeDup shape): embedding-cosine near-dup pairs
+# blocked on a deterministic sign-LSH bucket -> connected components ->
+# keep-min-id. The kept representative of each semantic cluster is the
+# row with id == component. Oracle replays bucket + pairs + a
+# recursive-CTE transitive closure.
+# --------------------------------------------------------------------
+_DD_SIGN_BUCKET4 = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 4), "
+    "i -> CASE WHEN embedding[i+1]::DOUBLE > 0 THEN CAST(pow(2, i) AS BIGINT) "
+    "ELSE 0 END)), (a, x) -> a + x)"
+)
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, {_DD_SIGN_BUCKET4} AS bkt FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+      WHERE {_dd_cos('a.embedding', 'c.embedding')} >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+    )
+    SELECT em.vec_id AS id,
+           LEAST(em.vec_id, COALESCE(MIN(r.peer), em.vec_id)) AS component
+    FROM embeddings em LEFT JOIN reach r ON em.vec_id = r.id
+    GROUP BY em.vec_id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, bucketed=True, n_bits=4
+    ).select("id_a", "id_b")
+    return resolve_components(e.select("vec_id"), pairs, id_col="vec_id")

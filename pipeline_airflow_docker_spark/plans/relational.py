@@ -1097,3 +1097,35 @@ def q_agg_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# --------------------------------------------------------------------
+# B12' distribution window functions: percent_rank / cume_dist /
+# ntile. ntile assigns by row position, so the ORDER BY carries a
+# unique tie-break (c_custkey) in both engines — without it ties make
+# the tile assignment run-dependent.
+# --------------------------------------------------------------------
+@query(
+    "q_win_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST()    OVER w AS cume,
+           CAST(NTILE(4)  OVER w AS INT) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

@@ -546,3 +546,31 @@ def test_minhash_incremental_drops_cross_batch_dups(spark):
         for r in minhash_incremental(new, corpus, "doc_id", "text").collect()
     }
     assert kept == {3}
+
+
+def test_semdedup_keeps_min_id_per_cluster(spark):
+    """Two co-bucketed near-identical vectors collapse to one keep
+    (min id); an orthogonal vector survives as its own component."""
+    from pipeline_airflow_docker_spark.operators.dedup import (
+        embedding_dup_pairs,
+        resolve_components,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1, 0.1, 0.1]),
+            (2, [1.0, 0.1, 0.1, 0.2]),   # near-dup of 1, same sign bucket
+            (3, [-1.0, -1.0, 0.5, 0.5]),  # different bucket entirely
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = embedding_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, bucketed=True, n_bits=4
+    ).select("id_a", "id_b")
+    comp = {
+        r.id: r.component
+        for r in resolve_components(
+            df.select("vec_id"), pairs, id_col="vec_id"
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 3}

@@ -174,3 +174,17 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in ("bench_lineitem_b", "bench_orders_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_win_distribution_single_shuffle(spark):
+    """All three distribution functions share one window spec — the
+    plan must contain exactly one exchange (on c_nationkey)."""
+    from pipeline_airflow_docker_spark.plans.relational import q_win_distribution
+
+    plan = (
+        q_win_distribution(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
