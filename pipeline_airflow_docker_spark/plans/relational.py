@@ -1129,3 +1129,77 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# --------------------------------------------------------------------
+# B25 time-series resample + gap-fill (hypertable-rollup shape):
+# hourly per-user buckets, missing hours materialized from a
+# sequence-explode grid (each user's own min..max range — no global
+# calendar join), totals in exact decimal, and a forward-fill of the
+# last observed total via last(ignorenulls) — the standard
+# state-carry-forward for sensor/event rollups. Grid generation is a
+# per-user explode (no shuffle beyond the bucket aggregate); the fill
+# window rides the same user partitioning.
+# --------------------------------------------------------------------
+@query(
+    "q_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+      FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    )
+    SELECT g.user_id, g.bucket,
+           COALESCE(h.n_events, 0) AS n_events,
+           COALESCE(h.total, 0.0) AS total,
+           last_value(h.total IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_total
+    FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.functions.numeric import dsum  # noqa: PLC0415
+
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total"),
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+            F.last("total", ignorenulls=True).over(w).alias("ffill_total"),
+        )
+    )

@@ -188,3 +188,28 @@ def test_win_distribution_single_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gapfill_materializes_missing_hours(spark):
+    """Hours with no events appear with n_events=0 and carry the last
+    observed total forward."""
+    import datetime as dt
+
+    from pipeline_airflow_docker_spark.plans.relational import q_gapfill
+    import tempfile, os
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 30), 7, "click", 10.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 3, 10), 7, "click", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {r.bucket.hour: r for r in q_gapfill(spark, d).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[1].n_events == 0 and out[2].n_events == 0
+    assert out[1].total == 0.0
+    assert out[1].ffill_total == 10.0 and out[2].ffill_total == 10.0
+    assert out[3].ffill_total == 5.0
