@@ -185,3 +185,98 @@ def test_stratified_downsample_properties(spark, rows, cap):
         assert per_group.get(g, 0) == min(cap, sum(1 for r in rows if r[1] == g))
     again = stratified_downsample(df.repartition(5), "grp", cap, key_col="k")
     assert sorted(got) == sorted((r.k, r.grp) for r in again.collect())
+
+
+TOKEN_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.integers(min_value=1, max_value=40),
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda r: r[0],
+)
+
+
+@SLOW
+@given(rows=TOKEN_ROWS, seq_len=st.integers(min_value=1, max_value=64))
+def test_pack_sequences_conservation(spark, rows, seq_len):
+    """Packing laws: offsets in [0, seq_len); pack ids are a
+    non-decreasing function of the order; consecutive starts differ by
+    exactly the predecessor's token count (no token lost or invented)."""
+    from pipeline_airflow_docker_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id INT, n_tokens INT")
+    out = sorted(
+        pack_sequences(df, "n_tokens", seq_len, order_cols=("doc_id",)).collect(),
+        key=lambda r: r.doc_id,
+    )
+    starts = [r.pack_id * seq_len + r.pack_offset for r in out]
+    assert starts[0] == 0
+    for prev, cur, s_prev, s_cur in zip(out, out[1:], starts, starts[1:]):
+        assert s_cur - s_prev == prev.n_tokens
+    for r in out:
+        assert 0 <= r.pack_offset < seq_len
+
+
+@SLOW
+@given(
+    corpus=st.lists(
+        st.tuples(st.integers(0, 20), st.text(alphabet="ab ", min_size=1, max_size=30)),
+        min_size=1, max_size=10, unique_by=lambda r: r[0],
+    ),
+    bench=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30), min_size=0, max_size=3
+    ),
+)
+def test_decontaminate_containment_and_idempotence(spark, corpus, bench):
+    """decontaminate(X) ⊆ X and is idempotent; with an empty benchmark
+    it is the identity."""
+    from pipeline_airflow_docker_spark.operators.decontam import decontaminate
+
+    c = spark.createDataFrame(corpus, "doc_id INT, text STRING")
+    b = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bench)] or [(0, None)],
+        "doc_id INT, text STRING",
+    ).filter(F.col("text").isNotNull())
+    once = decontaminate(c, b, "doc_id", "text")
+    ids_all = {r.doc_id for r in c.collect()}
+    ids_once = {r.doc_id for r in once.collect()}
+    assert ids_once <= ids_all
+    twice = decontaminate(once, b, "doc_id", "text")
+    assert {r.doc_id for r in twice.collect()} == ids_once
+    if not bench:
+        assert ids_once == ids_all
+
+
+@SLOW
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.lists(
+                st.floats(
+                    min_value=-10, max_value=10,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=2, max_size=6,
+            ),
+        ),
+        min_size=1, max_size=10, unique_by=lambda r: r[0],
+    )
+)
+def test_quantize_int8_laws(spark, vecs):
+    """Quantization laws on arbitrary vectors: |q| <= 127, dequantized
+    error <= scale/2 elementwise, scale >= 0."""
+    from pipeline_airflow_docker_spark.operators.embeddings import quantize_int8
+
+    # Pad to uniform length per example (Spark arrays are ragged-ok,
+    # but zip below wants the original values).
+    df = spark.createDataFrame(vecs, "vec_id INT, embedding ARRAY<FLOAT>")
+    for r in quantize_int8(df).collect():
+        orig = dict(vecs)[r.vec_id]
+        assert r.scale >= 0
+        assert all(abs(x) <= 127 for x in r.q)
+        for o, qv in zip(orig, r.q):
+            # float32 storage rounds orig; bound with a float32 epsilon
+            assert abs(qv * r.scale - o) <= r.scale / 2 + 1e-5 + abs(o) * 1e-6
