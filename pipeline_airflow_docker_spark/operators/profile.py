@@ -1,0 +1,125 @@
+"""Data-quality profiling and distribution-outlier operators.
+
+The reference validates data by eyeballing record counts in task logs
+(`etl_data_pipeline.py` count task, `kafka_to_mongo_pipeline_enchanced.py`
+quality-check stage); a 100 TB pipeline needs machine-checkable column
+profiles and automated outlier screens instead. Both operators here are
+single-pass aggregates (map-side partials, one shuffle) so they cost one
+scan regardless of table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pipeline_airflow_docker_spark.functions.numeric import davg, dec
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """Deequ-style column profile: one row per column with
+    ``(column_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
+    min_str, max_str)``.
+
+    All statistics for all columns are computed in a SINGLE aggregate
+    over the input (one scan; Catalyst plans one Expand + hash
+    aggregate for the distinct counts), then the 1-row wide result is
+    exploded into the long per-column shape — the explode touches one
+    row, so the whole profile costs one pass over the table.
+
+    Scale note (100 TB): ``exact_distinct=True`` plans an Expand that
+    multiplies scan rows by ``len(cols)`` before the partial aggregate.
+    That is the exact-answer cost everywhere; pass
+    ``exact_distinct=False`` to use ``approx_count_distinct`` (HLL++,
+    fixed-size sketch, no Expand) — the profile then costs exactly one
+    map-side pass regardless of column count.
+    """
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"profile_columns: unknown columns {missing!r}")
+
+    n_distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(n_distinct(c).alias(f"__nd_{c}"))
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+
+    def _entry(c: str) -> Column:
+        numeric = isinstance(by_name[c], _NUMERIC_TYPES)
+        if numeric:
+            min_num = F.col(f"__min_{c}").cast("double")
+            max_num = F.col(f"__max_{c}").cast("double")
+            min_str = F.lit(None).cast("string")
+            max_str = F.lit(None).cast("string")
+        else:
+            min_num = F.lit(None).cast("double")
+            max_num = F.lit(None).cast("double")
+            min_str = F.col(f"__min_{c}").cast("string")
+            max_str = F.col(f"__max_{c}").cast("string")
+        return F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            F.col(f"__nd_{c}").cast("long").alias("n_distinct"),
+            min_num.alias("min_num"),
+            max_num.alias("max_num"),
+            min_str.alias("min_str"),
+            max_str.alias("max_str"),
+        )
+
+    return wide.select(
+        F.explode(F.array(*[_entry(c) for c in cols])).alias("p")
+    ).select("p.*")
+
+
+def zscore_outliers(
+    df: DataFrame, key: str, value_col: str, k: float = 2.5
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``k`` sample standard
+    deviations from their group mean, with the z-score attached.
+
+    Single stats pass (sum / sum-of-squares as exact DECIMAL so the
+    result is identical under any partitioning — see
+    ``functions/numeric.py``), then the per-key stats — one row per
+    group — broadcast back onto the fact table, so the outlier screen
+    is: one shuffle for the aggregate, zero shuffles on the data path.
+    Variance uses the textbook identity ``(Σx² − n·mean²)/(n−1)``; both
+    Σ terms are exact, and the remaining double arithmetic is a fixed
+    expression tree, so any IEEE-754 engine computes bit-identical
+    z-scores.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(key).agg(
+        F.count(value_col).alias("__n"),
+        davg(value_col).alias("__mean"),
+        # 2-decimal inputs square to exactly 4 decimals; scale 8 is headroom.
+        F.sum(dec(v * v, 28, 8)).cast("double").alias("__sumsq"),
+    )
+    sd = F.sqrt(
+        (F.col("__sumsq") - F.col("__n") * F.col("__mean") * F.col("__mean"))
+        / (F.col("__n") - F.lit(1))
+    )
+    z = (v - F.col("__mean")) / sd
+    return (
+        df.join(F.broadcast(stats), on=key)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(k))
+        .drop("__n", "__mean", "__sumsq")
+    )

@@ -22,6 +22,7 @@ from pipeline_airflow_docker_spark.plans.registry import (  # noqa: F401
 from pipeline_airflow_docker_spark.plans import (  # noqa: F401,E402
     llm,
     streaming_q,
+    dataops,
     relational,
     reference_ops,
 )

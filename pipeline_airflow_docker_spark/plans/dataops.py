@@ -1,0 +1,109 @@
+"""Data-quality / pipeline-hygiene qkeys (SURVEY.md §2 Part B/C
+extensions, round 2): column profiling, distribution outlier screens,
+explicit GROUPING SETS.
+
+The reference's only data-quality machinery is a record count logged by
+an Airflow task [ref dags/etl_data_pipeline.py:26-29] and a row-shape
+check in the enhanced Kafka DAG [ref
+dags/kafka_to_mongo_pipeline_enchanced.py:1-40]; these qkeys generalize
+that into the machine-checkable profiles a 100 TB pipeline gates on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_airflow_docker_spark.catalog import register_views, table
+from pipeline_airflow_docker_spark.operators.profile import (
+    profile_columns,
+    zscore_outliers,
+)
+from pipeline_airflow_docker_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------
+# Column profile: one row of stats per profiled column, computed in a
+# single pass (one Expand + aggregate; see operators/profile.py for the
+# exact- vs approx-distinct scale trade).
+# --------------------------------------------------------------------
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        numeric = c in ("l_orderkey", "l_quantity")
+        if numeric:
+            mins = (
+                f"MIN({c})::DOUBLE AS min_num, MAX({c})::DOUBLE AS max_num, "
+                "NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str"
+            )
+        else:
+            mins = (
+                "NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, "
+                f"MIN({c}) AS min_str, MAX({c}) AS max_str"
+            )
+        parts.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+            f"COUNT({c}) AS n_nonnull, COUNT(DISTINCT {c}) AS n_distinct, {mins} "
+            "FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("q_profile", oracle=_profile_oracle())
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return profile_columns(li, _PROFILE_COLS)
+
+
+# --------------------------------------------------------------------
+# Distribution outlier screen: events whose value sits >2.5 sample
+# standard deviations from their event_type mean. One aggregate
+# shuffle; stats broadcast back; the fact table never shuffles.
+# --------------------------------------------------------------------
+@query(
+    "q_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS mean,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sumsq
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, e.event_id, e.ts, e.user_id, e.value, e.props,
+           (e.value - s.mean)
+             / sqrt((s.sumsq - s.n * s.mean * s.mean) / (s.n - 1)) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.mean)
+              / sqrt((s.sumsq - s.n * s.mean * s.mean) / (s.n - 1))) > 2.5
+    """,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return zscore_outliers(ev, "event_type", "value", k=2.5)
+
+
+# --------------------------------------------------------------------
+# Explicit GROUPING SETS with GROUPING() flags — the general form of
+# the rollup/cube pair (q_agg_rollup / q_agg_cube). One Expand node +
+# one aggregate; partial aggregation applies per grouping set, so at
+# 100 TB this is len(sets)× the scan rows into the map-side combine,
+# not len(sets) separate scans.
+# --------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -1,0 +1,83 @@
+"""Tests for operators/profile.py — column profiling and z-score
+outlier screening."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.operators.profile import (
+    profile_columns,
+    zscore_outliers,
+)
+
+
+def test_profile_shapes_and_values(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, "b"), (None, 8.0, None)],
+        "id bigint, v double, s string",
+    )
+    out = {r["column_name"]: r.asDict() for r in profile_columns(df, ["id", "v", "s"]).collect()}
+    assert set(out) == {"id", "v", "s"}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_nonnull"] == 3
+    assert out["v"]["n_distinct"] == 3
+    assert out["v"]["min_num"] == 2.0 and out["v"]["max_num"] == 8.0
+    # Numeric columns report via min_num/max_num; strings via min_str/max_str.
+    assert out["v"]["min_str"] is None and out["s"]["min_num"] is None
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["n_nonnull"] == 3 and out["s"]["n_distinct"] == 2
+
+
+def test_profile_unknown_column_raises(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(df, ["id", "nope"])
+
+
+def test_profile_single_pass_one_scan(spark):
+    """The whole profile must come from ONE aggregate over ONE scan —
+    no per-column subplans unioned together."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    explained = (
+        profile_columns(df, ["id", "v"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert explained.count("Range (0, 100") == 1
+    assert "Union" not in explained
+
+
+def test_profile_approx_distinct_has_no_expand(spark):
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).cast("double").alias("v")
+    )
+    exact = profile_columns(df, ["id", "v"], exact_distinct=True)
+    approx = profile_columns(df, ["id", "v"], exact_distinct=False)
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan  # cost of exactness, documented
+    assert "Expand" not in approx_plan  # HLL++ path: pure one-pass
+    # HLL++ on these cardinalities is exact enough to agree.
+    a = {r["column_name"]: r["n_distinct"] for r in approx.collect()}
+    assert a["v"] == 13
+
+
+def test_zscore_outliers_flags_the_planted_point(spark):
+    rows = [("a", float(v)) for v in (10, 11, 9, 10, 12, 9, 10, 11, 100)]
+    rows += [("b", 5.0), ("b", 6.0), ("b", 5.5), ("b", 4.5)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = zscore_outliers(df, "k", "v", k=2.5).collect()
+    assert [(r["k"], r["v"]) for r in out] == [("a", 100.0)]
+    z = out[0]["z"]
+    # Hand-checked: mean≈20.22, sd≈29.94 → z≈2.66
+    assert 2.5 < z < 3.0 and math.isfinite(z)
+
+
+def test_zscore_outliers_stats_side_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [("a", float(i % 17)) for i in range(500)], "k string, v double"
+    )
+    plan = zscore_outliers(df, "k", "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
