@@ -209,3 +209,49 @@ def tfidf_top_terms(
         .filter(F.col("__rn") <= k)
         .select(F.col("id").alias(id_col), "term", "tfidf")
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` tokens by total term frequency,
+    with document frequency attached — the first pass of any
+    tokenizer/BPE training or stopword-selection job.
+
+    One explode + one keyed aggregate (partial map-side combine on the
+    token, two-phase distinct for document frequency), then top-k via
+    ``orderBy().limit()`` which Spark plans as TakeOrderedAndProject —
+    per-partition heaps, only ``top_k`` rows reach the driver-side
+    merge. Ties break on the token itself so the cut is total-ordered
+    and reproducible at any parallelism.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    )
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("__doc").alias("df_docs"),
+    )
+    return agg.orderBy(F.desc("tf"), F.asc("token")).limit(top_k)
+
+
+def ngram_counts(
+    df: DataFrame, text_col: str = "text", n: int = 2, top_k: int = 100
+) -> DataFrame:
+    """Corpus-wide word-``n``-gram frequencies, top ``top_k``: the
+    n-gram language-model / contamination-screen companion to
+    ``vocabulary``. Documents shorter than ``n`` tokens are skipped
+    (no padded partial grams). Same single-shuffle + TakeOrdered shape
+    as ``vocabulary``."""
+    toks = tokens(text_col)
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.explode(shingles(toks, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(top_k)
+    )

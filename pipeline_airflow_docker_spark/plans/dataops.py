@@ -12,11 +12,16 @@ that into the machine-checkable profiles a 100 TB pipeline gates on.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.catalog import register_views, table
 from pipeline_airflow_docker_spark.operators.profile import (
     profile_columns,
     zscore_outliers,
+)
+from pipeline_airflow_docker_spark.operators.textstats import (
+    ngram_counts,
+    vocabulary,
 )
 from pipeline_airflow_docker_spark.plans.registry import query
 
@@ -107,3 +112,85 @@ GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------
+# Corpus vocabulary: top-100 tokens by term frequency with document
+# frequency — tokenizer/BPE-training first pass. TakeOrderedAndProject
+# top-k; total-ordered tie-break so the cut is reproducible.
+# --------------------------------------------------------------------
+@query(
+    "q_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df_docs
+    FROM tok GROUP BY token
+    ORDER BY tf DESC, token LIMIT 100
+    """,
+)
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return vocabulary(d, "doc_id", "text", top_k=100)
+
+
+# --------------------------------------------------------------------
+# Word-bigram frequencies, top-100 — n-gram LM counts / contamination
+# screens. Same DuckDB list_transform shingling the minhash oracle uses.
+# --------------------------------------------------------------------
+@query(
+    "q_ngram_counts",
+    oracle="""
+    WITH tok AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+      FROM tok WHERE len(toks) >= 2
+    )
+    SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram
+    ORDER BY cnt DESC, gram LIMIT 100
+    """,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return ngram_counts(d, "text", n=2, top_k=100)
+
+
+# --------------------------------------------------------------------
+# Fuzzy dimension lookup: dirty keys matched to the nation dimension by
+# edit distance <= 2. The dirty side here is a literal 8-row frame, so
+# the non-equi join is a broadcast loop over 25 dimension rows — the
+# right plan at this shape. For a *large* dirty side, block first
+# (length or prefix bucket) so candidates meet on an equi-key; the
+# operator stays the same inside each block.
+# --------------------------------------------------------------------
+_TYPOS = [
+    "NATIN_3",
+    "NATIOM_12",
+    "NTION_7",
+    "XATION_0",
+    "NATION_99",
+    "NATON_21",
+    "NNATION_5",
+    "NATIONN_18",
+]
+_TYPO_VALUES = ", ".join(f"('{t}')" for t in _TYPOS)
+
+
+@query(
+    "q_fuzzy_join",
+    oracle=f"""
+    WITH typos(typo) AS (VALUES {_TYPO_VALUES})
+    SELECT t.typo, n.n_name, levenshtein(t.typo, n.n_name) AS dist
+    FROM typos t JOIN nation n ON levenshtein(t.typo, n.n_name) <= 2
+    """,
+)
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    typos = spark.createDataFrame([(t,) for t in _TYPOS], "typo string")
+    nation = table(spark, sf_dir, "nation")
+    dist = F.levenshtein(F.col("typo"), F.col("n_name"))
+    return (
+        typos.join(F.broadcast(nation), on=dist <= 2)
+        .select("typo", "n_name", dist.alias("dist"))
+    )

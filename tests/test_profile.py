@@ -81,3 +81,35 @@ def test_zscore_outliers_stats_side_is_broadcast(spark):
     )
     plan = zscore_outliers(df, "k", "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---- vocabulary / ngram_counts (operators/textstats.py) -------------
+
+
+def test_vocabulary_counts_and_tiebreak(spark):
+    from pipeline_airflow_docker_spark.operators.textstats import vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id bigint, text string"
+    )
+    out = vocabulary(df, top_k=2).collect()
+    # a: tf=3 df=2; b: tf=2 df=2; c: tf=1 — top-2 cut is (a, b).
+    assert [(r["token"], r["tf"], r["df_docs"]) for r in out] == [
+        ("a", 3, 2),
+        ("b", 2, 2),
+    ]
+    # tf ties must break on token: x and y both tf=1 -> x wins the cut.
+    df2 = spark.createDataFrame([(1, "y x")], "doc_id bigint, text string")
+    top1 = vocabulary(df2, top_k=1).collect()
+    assert top1[0]["token"] == "x"
+
+
+def test_ngram_counts_skips_short_docs(spark):
+    from pipeline_airflow_docker_spark.operators.textstats import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "solo"), (3, "a b")], "doc_id bigint, text string"
+    )
+    out = {r["gram"]: r["cnt"] for r in ngram_counts(df, n=2, top_k=10).collect()}
+    # doc 2 (1 token) contributes nothing; no "solo" unigram leaks in.
+    assert out == {"a b": 3, "b a": 1}
