@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.catalog import register_views, table
+from pipeline_airflow_docker_spark.operators.intervals import bin_interval_join
 from pipeline_airflow_docker_spark.operators.profile import (
     profile_columns,
     zscore_outliers,
@@ -193,4 +194,43 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         typos.join(F.broadcast(nation), on=dist <= 2)
         .select("typo", "n_name", dist.alias("dist"))
+    )
+
+
+# --------------------------------------------------------------------
+# Binned interval join — big-big range join without a nested loop:
+# attribute each event to same-user purchase windows [ts, ts+1h). The
+# plain range join (q_join_range) nested-loops, which is correct for a
+# tiny build side; this is the shape that survives two fact tables.
+# See operators/intervals.py for the binning math.
+# --------------------------------------------------------------------
+@query(
+    "q_join_range_binned",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS lo,
+             ts + INTERVAL 1 HOUR AS hi
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, e.event_id, e.user_id, e.event_type, e.ts
+    FROM events e
+    JOIN p ON e.user_id = p.user_id
+          AND e.ts >= p.lo AND e.ts < p.hi
+          AND e.event_id <> p.purchase_id
+    """,
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+    )
+    joined = bin_interval_join(
+        ev, purchases, point_ts="ts", lo_col="lo", hi_col="hi",
+        keys=["user_id"], bin_seconds=3600,
+    )
+    return joined.filter(F.col("event_id") != F.col("purchase_id")).select(
+        "purchase_id", "event_id", "user_id", "event_type", "ts"
     )

@@ -113,3 +113,71 @@ def test_ngram_counts_skips_short_docs(spark):
     out = {r["gram"]: r["cnt"] for r in ngram_counts(df, n=2, top_k=10).collect()}
     # doc 2 (1 token) contributes nothing; no "solo" unigram leaks in.
     assert out == {"a b": 3, "b a": 1}
+
+
+# ---- bin_interval_join (operators/intervals.py) ----------------------
+
+
+def _naive_interval_join(spark, points, intervals):
+    from pyspark.sql import functions as F
+
+    return points.join(
+        intervals,
+        on=(points["user_id"] == intervals["user_id"])
+        & (points["ts"] >= intervals["lo"])
+        & (points["ts"] < intervals["hi"]),
+    ).select(points["event_id"], intervals["iv_id"])
+
+
+def test_bin_interval_join_matches_naive_range_join(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from pipeline_airflow_docker_spark.operators.intervals import bin_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, i % 3, base + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (j, j % 3, base + dt.timedelta(minutes=45 * j),
+             base + dt.timedelta(minutes=45 * j + 61))
+            for j in range(20)
+        ],
+        "iv_id bigint, user_id bigint, lo timestamp, hi timestamp",
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in bin_interval_join(
+            pts, ivs, "ts", "lo", "hi", keys=["user_id"], bin_seconds=1800
+        ).select("event_id", "iv_id").collect()
+    )
+    want = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in _naive_interval_join(spark, pts, ivs).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bin_interval_join_plans_equi_join_not_nested_loop(spark):
+    import datetime as dt
+
+    from pipeline_airflow_docker_spark.operators.intervals import bin_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, i % 3, base + dt.timedelta(minutes=i)) for i in range(50)],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    ivs = pts.selectExpr(
+        "event_id as iv_id", "user_id", "ts as lo", "ts + interval 1 hour as hi"
+    )
+    plan = (
+        bin_interval_join(pts, ivs, "ts", "lo", "hi", keys=["user_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
