@@ -163,3 +163,40 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(name)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar write (see ``sources.batch.read_orc``)."""
+    df.write.mode(mode).orc(path)
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a table directory into
+    ``ceil(total_bytes / target_file_bytes)`` files; returns the file
+    count written.
+
+    Streaming sinks and fine-grained partitioned writes accumulate
+    thousands of small files, and at 100 TB the resulting driver-side
+    listing + per-file task overhead dominates scan time (the classic
+    lakehouse small-file problem). Sizing comes from the Hadoop
+    FileSystem content summary (works on any supported scheme, no
+    driver-side file iteration), and the rewrite is one
+    ``repartition(n)`` — a single round-robin shuffle that also evens
+    out skewed input files. Compaction writes to a NEW directory:
+    swapping it over the source atomically is the table format's /
+    orchestrator's job, not a file sink's.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, -(-int(total_bytes) // int(target_file_bytes)))
+    df = spark.read.format(fmt).load(src_path)
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(dest_path)
+    return n_files

@@ -190,3 +190,41 @@ def read_rest_json(
     else:
         raise OSError(f"API fetch failed after {max_retries} attempts: {url}") from last_err
     return spark.createDataFrame(records, schema=schema)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Columnar ORC scan — same predicate-pushdown / column-pruning /
+    vectorized-read properties as the parquet path (ORC support is
+    built into Spark). Completes the format matrix next to CSV/JSON/
+    parquet so a warehouse exporting ORC plugs in without conversion."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw-file ingest for multimodal corpora: one row per file with
+    ``(path, modificationTime, length, content: binary)`` via Spark's
+    built-in ``binaryFile`` source — the input end of the
+    `operators/multimodal.py` pipeline (attach_binary_payload /
+    extract_features consume exactly this shape).
+
+    Scale notes: the source parallelizes per-file (fine for media
+    corpora of many files); `spark.sql.files.maxPartitionBytes` does
+    not split single files, so one giant file = one task — shard at
+    produce time. Push a path glob down instead of filtering
+    post-scan so listing prunes before any byte is read.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

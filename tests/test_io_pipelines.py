@@ -314,3 +314,73 @@ def test_jdbc_replace_live_roundtrip(spark, tmp_path):
     write_jdbc_replace(replacement, url, "cleaned", props)
     rows = read_back().collect()
     assert [(r["idx"], r["height"]) for r in rows] == [(9, 60.0)]
+
+
+# ---- ORC / binaryFile / compaction (round 2) -------------------------
+
+
+def test_orc_roundtrip_preserves_rows_and_schema(spark, tmp_path):
+    from pipeline_airflow_docker_spark.sinks.batch import write_orc
+    from pipeline_airflow_docker_spark.sources.batch import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dest = str(tmp_path / "docs_orc")
+    write_orc(src, dest)
+    back = read_orc(spark, dest)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = {r["doc_id"]: r["text"] for r in src.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    from pipeline_airflow_docker_spark.sinks.batch import write_orc
+    from pipeline_airflow_docker_spark.sources.batch import read_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dest = str(tmp_path / "docs_orc_pf")
+    write_orc(src, dest)
+    plan = (
+        read_orc(spark, dest)
+        .filter("n_chars > 500")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]" in plan
+
+
+def test_binary_files_ingest_feeds_multimodal_ops(spark, tmp_path):
+    from pipeline_airflow_docker_spark.sources.batch import read_binary_files
+
+    media = tmp_path / "media"
+    media.mkdir()
+    payloads = {f"clip_{i}.bin": bytes(range(i, i + 16)) for i in range(3)}
+    for name, body in payloads.items():
+        (media / name).write_bytes(body)
+    (media / "ignore.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(media), glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rows}
+    assert got == payloads
+    assert all(r["length"] == 16 for r in rows)
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from pipeline_airflow_docker_spark.sinks.batch import compact_files
+
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(32).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before == 32
+
+    n_target = compact_files(spark, src, dest, target_file_bytes=256 * 1024 * 1024)
+    n_after = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert n_target == 1 and n_after == 1
+    assert spark.read.parquet(dest).count() == docs.count()
