@@ -43,14 +43,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot
-        # read natively: read nanos as long, truncate to microseconds
-        # (integer division — double division mis-rounds near microsecond
-        # boundaries at these magnitudes). Matches DuckDB's ns->us read.
+        # events.ts may arrive as parquet TIMESTAMP(NANOS) (Spark 4
+        # cannot read it natively: read nanos as long, truncate to
+        # microseconds with integer division — double division
+        # mis-rounds near microsecond boundaries) or as TIMESTAMP(US)
+        # without a timezone, which Spark 4 reads as TIMESTAMP_NTZ.
+        # withWatermark and unix_micros both reject NTZ, so normalize
+        # to TIMESTAMP: the session timezone is pinned UTC
+        # (session.py), so the cast is value-preserving and DuckDB
+        # oracle parity holds.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
