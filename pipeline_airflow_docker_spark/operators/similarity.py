@@ -10,6 +10,8 @@ join stays broadcast-small for the query side.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -176,6 +178,7 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     k: int = 8,
     n_iter: int = 5,
+    snap_bits: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column — the
     trained coarse quantizer for `knn_cosine_ivf` (which accepts any
@@ -195,6 +198,15 @@ def kmeans_lloyd(
     convergence-by-float-epsilon), so assignments reproduce across
     runs, partitionings, and engines. Empty clusters keep their
     previous centroid.
+
+    ``snap_bits``: when set, each updated centroid coordinate is
+    snapped to the dyadic grid ``2**-snap_bits`` (round half up).
+    Float summation is not associative, so two engines (or two
+    partitionings) computing the same per-cluster mean can differ in
+    the last bits; snapping to a grid ~1e9 coarser than double ulp
+    absorbs that divergence, making centroids — and therefore
+    assignments — bit-reproducible across engines. This is what lets
+    the DuckDB oracle replay Lloyd's exactly (plans/llm.py::q_kmeans).
     """
     cents: list[list[float]] = [
         [float(x) for x in r[1]]
@@ -241,6 +253,11 @@ def kmeans_lloyd(
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
             by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["mean"]
+        if snap_bits is not None:
+            grid = float(1 << snap_bits)
+            for dims in by_cluster.values():
+                for p, v in dims.items():
+                    dims[p] = math.floor(v * grid + 0.5) / grid
         for cid, dims in by_cluster.items():
             new_cents[cid] = [dims[p] for p in range(len(dims))]
         cents = new_cents

@@ -400,13 +400,82 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# C3b k-means quantizer training (rows-only: the iterative Lloyd's
-# loop is not SQL-expressible; assignments are verified against a
-# numpy reference implementation in tests/test_llm.py).
-@query("q_kmeans")
+# C3b k-means quantizer training. Lloyd's loop has a FIXED iteration
+# count, so the oracle unrolls it: 3 assign->update rounds as chained
+# CTEs, then the final assignment. Cross-engine bit-equality is
+# engineered, not hoped for: centroid coordinates are snapped to the
+# 2^-20 dyadic grid after each update (kmeans_lloyd snap_bits), which
+# absorbs float-summation-order divergence between Spark's shuffled
+# partial aggregates and DuckDB's avg; distances then fold
+# sequentially over identical operands (bit-identical IEEE), and
+# argmin ties break to the lower cluster id in both engines.
+
+
+def _km_dist(vec: str, cv: str) -> str:
+    """DuckDB squared-L2 matching functions/vectors.py::l2sq — same
+    sequential fold order, double arithmetic."""
+    d = f"({vec}[i+1]::DOUBLE - {cv}[i+1])"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(0, len({vec})), i -> {d} * {d})), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def _km_oracle(k: int, n_iter: int, snap_bits: int) -> str:
+    grid = float(1 << snap_bits)
+    dist = _km_dist("e.embedding", "c.cv")
+    ctes = [
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             list_transform(embedding, x -> x::DOUBLE) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""d{i} AS (
+      SELECT e.vec_id, e.embedding, c.cid, {dist} AS d
+      FROM embeddings e CROSS JOIN c{i - 1} c
+    ),
+    a{i} AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT vec_id, embedding, cid AS cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d{i}) WHERE rn = 1
+    ),
+    m{i} AS (
+      SELECT cluster, dim, floor(avg(x) * {grid} + 0.5) / {grid} AS mean
+      FROM (SELECT cluster, unnest(embedding)::DOUBLE AS x,
+                   CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+            FROM a{i})
+      GROUP BY cluster, dim
+    ),
+    c{i} AS (
+      SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+      FROM c{i - 1} p LEFT JOIN
+           (SELECT cluster AS cid, list(mean ORDER BY dim) AS cv
+            FROM m{i} GROUP BY cluster) n USING (cid)
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    fin AS (
+      SELECT e.vec_id, c.cid, {dist} AS d
+      FROM embeddings e CROSS JOIN c{n_iter} c
+    )
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cid AS cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM fin) WHERE rn = 1
+    """
+
+
+@query("q_kmeans", oracle=_km_oracle(k=8, n_iter=3, snap_bits=20))
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    return kmeans_lloyd(e, k=8, n_iter=3)
+    return kmeans_lloyd(e, k=8, n_iter=3, snap_bits=20)
 
 
 # --------------------------------------------------------------------
@@ -568,6 +637,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fake decode is deterministic byte math (mean + 8-bucket byte
 # histogram), so even the Arrow mapInPandas path is hash-checked: the
 # oracle replays it byte-for-byte from the ASCII text via ord().
+# The feature array is posexploded to (bucket, feat) rows so the
+# driver's canonicalizer (which cannot sort list columns) can grade
+# it; the operator API still returns the array form.
 @query(
     "q_multimodal_features",
     oracle="""
@@ -586,14 +658,21 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, 'text/plain' AS mime, CAST(n_bytes AS INT) AS n_bytes,
            s::DOUBLE / n_bytes AS mean_byte,
-           array_agg(c::DOUBLE / n_bytes ORDER BY bucket) AS feature
+           CAST(bucket AS INT) AS bucket,
+           c::DOUBLE / n_bytes AS feat
     FROM filled
-    GROUP BY doc_id, n_bytes, s
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(d), n_features=8, fake=True)
+    feats = extract_features(attach_binary_payload(d), n_features=8, fake=True)
+    return feats.select(
+        "doc_id",
+        "mime",
+        "n_bytes",
+        "mean_byte",
+        F.posexplode("feature").alias("bucket", "feat"),
+    )
 
 
 # C5b frame sampling: one media row -> every 4th 64-byte frame. The
@@ -962,21 +1041,24 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx,
              {_DD_DOT.format(a="embedding", b="embedding")} AS n2
       FROM embeddings
+    ),
+    v AS (
+      SELECT vec_id, mx / 127.0 AS scale, sqrt(n2) AS vnorm,
+             unnest(embedding)::DOUBLE AS x,
+             CAST(unnest(range(0, len(embedding))) AS INT) AS dim
+      FROM b
     )
-    SELECT vec_id,
-           mx / 127.0 AS scale,
-           CASE WHEN mx > 0
-                THEN list_transform(embedding,
-                       x -> CAST(floor(x::DOUBLE / (mx / 127.0) + 0.5) AS INT))
-                ELSE list_transform(embedding, x -> 0) END AS q,
-           sqrt(n2) AS vnorm,
-           CASE WHEN sqrt(n2) > 0
-                THEN list_transform(embedding, x -> x::DOUBLE / sqrt(n2))
-                ELSE list_transform(embedding, x -> 0.0) END AS unit
-    FROM b
+    SELECT vec_id, scale, vnorm, dim,
+           CASE WHEN scale > 0
+                THEN CAST(floor(x / scale + 0.5) AS INT) ELSE 0 END AS q_i,
+           CASE WHEN vnorm > 0 THEN x / vnorm ELSE 0.0 END AS unit_i
+    FROM v
     """,
 )
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Posexploded to (vec_id, dim, q_i, unit_i) rows: the operator API
+    # keeps the array form; the plan emits a shape the driver's
+    # canonicalizer can sort and hash (it cannot sort list columns).
     from pipeline_airflow_docker_spark.operators.embeddings import (  # noqa: PLC0415
         l2_normalize,
         quantize_int8,
@@ -984,7 +1066,19 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     out = l2_normalize(quantize_int8(e, "embedding"), "embedding", "unit")
-    return out.select("vec_id", "scale", "q", "vnorm", "unit")
+    return out.select(
+        "vec_id",
+        "scale",
+        "vnorm",
+        F.posexplode(F.arrays_zip("q", "unit")).alias("dim", "zipped"),
+    ).select(
+        "vec_id",
+        "scale",
+        "vnorm",
+        "dim",
+        F.col("zipped.q").alias("q_i"),
+        F.col("zipped.unit").alias("unit_i"),
+    )
 
 
 # --------------------------------------------------------------------

@@ -368,15 +368,38 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rows-only: HLL++ estimates are implementation-specific, so there is
-# no cross-engine hash to match (SURVEY.md Qkey table) — the driver
-# records the weaker rows-present check; unit tests bound the error.
-@query("q_agg_approx_distinct")
+# HLL++ estimates are implementation-specific, so the raw estimate has
+# no cross-engine hash to match. The gradeable contract is the
+# tolerance property instead: emit the exact distinct count plus a
+# boolean "HLL estimate landed within 5% of exact" (rsd=0.02, so 5%
+# is > 2 sigma); the oracle asserts the same shape with approx_ok=TRUE.
+# A broken HLL path flips the boolean and the hash, so the approx
+# operator is genuinely exercised and driver-gradeable.
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_parts_exact"))
+                <= 0.05 * F.col("n_parts_exact")
+            ).alias("approx_ok"),
+        )
         .orderBy("l_returnflag")
     )
 
