@@ -226,8 +226,8 @@ def main() -> int:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
             samples = []
             n = 0
-            for _ in range(reps):
-                t0 = time.time()
+
+            def run_once(name=name):
                 df = build(name)
                 # Action = JVM-side row count + xxhash64 checksum over
                 # every output column: forces full computation of the
@@ -235,12 +235,26 @@ def main() -> int:
                 # columns away) while moving exactly one row to the
                 # driver (collect() of a wide result would time Python
                 # pickling, not the engine).
-                n = df.select(
+                return df.select(
                     _F.count(_F.lit(1)).alias("n"),
                     _F.sum(
                         _F.xxhash64(*[_F.col(c) for c in df.columns])
                     ).alias("h"),
                 ).collect()[0]["n"]
+
+            # Per-query warmup rep, discarded: first execution pays
+            # codegen compile, checkpoint/cache materialization, and
+            # (on a shared box) cold page cache — one-time costs a
+            # long-lived cluster amortizes. r02 showed medians like
+            # [38.9/28.6/1.4] without it, useless as a round-over-round
+            # signal. The warmup count is printed so cold cost stays
+            # visible instead of hidden.
+            t0 = time.time()
+            run_once()
+            warm_sec = time.time() - t0
+            for _ in range(reps):
+                t0 = time.time()
+                n = run_once()
                 samples.append(time.time() - t0)
             if name == BUCKET_KEY:
                 spark.conf.set(
@@ -249,7 +263,8 @@ def main() -> int:
             timings[name] = round(statistics.median(samples), 3)
             detail = "/".join(f"{s:.2f}" for s in samples)
             print(
-                f"# {name}: {timings[name]}s median of [{detail}] ({n} rows)",
+                f"# {name}: {timings[name]}s median of [{detail}] "
+                f"(warmup {warm_sec:.2f}s, {n} rows)",
                 file=sys.stderr,
             )
     finally:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_airflow_docker_spark.functions.materialize import materialize
+
 from pipeline_airflow_docker_spark.operators.dedup import (
     minhash_dup_pairs,
     resolve_components,
@@ -50,9 +52,9 @@ def clean_corpus(
     # component node list, and the final representative join — without
     # this the scan + quality join recomputes per consumer (same
     # rationale as the signature-table checkpoint in dedup.py).
-    kept = df.join(
+    kept = materialize(df.join(
         q.filter(F.col("quality") >= quality_min), on=id_col, how="inner"
-    ).localCheckpoint()
+    ))
     pairs = minhash_dup_pairs(
         kept, id_col, text_col, threshold=jaccard_threshold
     ).select("id_a", "id_b")

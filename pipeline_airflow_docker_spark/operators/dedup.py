@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipeline_airflow_docker_spark.functions.materialize import materialize
 from pipeline_airflow_docker_spark.functions.text import (
     band_keys,
     jaccard,
@@ -76,13 +77,14 @@ def ngram_jaccard_pairs(
     Quadratic within a block — the correctness baseline the LSH path
     (minhash_dup_pairs) is measured against. ``block_col`` bounds the
     self-join; at scale always block (or use minhash)."""
-    # Materialized once (localCheckpoint) — the self-join reads it
-    # twice and would otherwise recompute the shingle pipeline per side.
-    sh = _spread(df).select(
+    # Materialized once — the self-join reads it twice and would
+    # otherwise recompute the shingle pipeline per side (mode knob:
+    # functions/materialize.py).
+    sh = materialize(_spread(df).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
         F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
-    ).localCheckpoint()
+    ))
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
@@ -96,17 +98,18 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sh) distinct-shingle table, materialized once
-    (localCheckpoint): downstream LSH reads it several times
-    (signature + both sides of the verify join), and without
-    materialization Spark recomputes the CPU-heavy shingle pipeline
-    per use — measured 9× end-to-end at sf0.1. At cluster scale the
-    equivalent is persisting the signature table (or writing it to
-    scratch parquet)."""
-    return _spread(df).select(
+    """(id, sh) distinct-shingle table, materialized once:
+    downstream LSH reads it several times (signature + both sides of
+    the verify join), and without materialization Spark recomputes the
+    CPU-heavy shingle pipeline per use — measured 9× end-to-end at
+    sf0.1. The materialization strategy is the deployment knob in
+    functions/materialize.py — local_checkpoint for tests,
+    disk_persist/parquet_scratch at cluster scale so the shingle table
+    never pins executor memory."""
+    return materialize(_spread(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
-    ).localCheckpoint()
+    ))
 
 
 def _band_table(sh: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
@@ -222,17 +225,17 @@ def simhash_dup_pairs(
     Hamming distance d<=3 of a 32-bit hash matches exactly on at least
     one 16-bit half (pigeonhole), so candidates come from two equality
     joins instead of a cross join."""
-    # Materialized once (localCheckpoint): the two half-joins read this
-    # four times, and simhash32 (32 interpreted bit-votes per token) is
-    # by far the dominant cost — recomputing it per branch quadruples
-    # the work.
+    # Materialized once (mode knob: functions/materialize.py): the
+    # two half-joins read this four times, and simhash32 (32
+    # interpreted bit-votes per token) is by far the dominant cost —
+    # recomputing it per branch quadruples the work.
     sh = simhash_docs(df, id_col, text_col)
-    sh = sh.select(
+    sh = materialize(sh.select(
         "id",
         "simhash",
         (F.col("simhash") % 65536).alias("lo"),
         F.floor(F.col("simhash") / 65536).cast("long").alias("hi"),
-    ).localCheckpoint()
+    ))
     def half_join(key: str) -> DataFrame:
         a, b = sh.alias("a"), sh.alias("b")
         return a.join(
@@ -277,8 +280,9 @@ def resolve_components(
     is two keyed shuffles (equi-join + groupBy), never a cross
     product; dup clusters have tiny diameters in practice (near-dup
     graphs are dense cliques), so 2-4 rounds at any corpus size.
-    ``localCheckpoint`` truncates lineage so plans don't grow with the
-    iteration count. The driver-side loop is the standard Pregel
+    Each round's labels are re-materialized (functions/materialize.py;
+    local_checkpoint and parquet_scratch also truncate lineage so
+    plans don't grow with the iteration count). The driver-side loop is the standard Pregel
     shape for iterative graph algorithms (GraphX does the same); the
     only values collected are per-round change counts.
     """
@@ -288,22 +292,21 @@ def resolve_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
+    edges = materialize(edges)
+    labels = materialize(nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=True)
+    ))
     for _ in range(max_iter):
         # Push each node's current component to its neighbours, then
         # take the min of (own component, pushed components) per node.
         pushed = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "component"
         )
-        new_labels = (
+        new_labels = materialize(
             labels.unionByName(pushed)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
