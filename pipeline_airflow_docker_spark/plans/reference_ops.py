@@ -272,45 +272,38 @@ def q_union_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# G1 row count [ref dags/etl_data_pipeline_mongodb_complex.py:43]
-# --------------------------------------------------------------------
-@query("q_count", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
-def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
-
-
-# --------------------------------------------------------------------
-# G2 count-threshold gate [ref dags/etl_data_pipeline_mongodb_complex.py:57-62]
-# — at sf>=0.01 the cleaned count exceeds 10, so the oracle is the
-# cleaned relation (the "run" branch).
+# G1-G4 count / gate / head / limit, consolidated into ONE graded key
+# (round-3 window consolidation — three near-identical keys burned
+# three of the driver's 50 graded slots):
+#   G1 row count        [ref dags/etl_data_pipeline_mongodb_complex.py:43]
+#   G2 count-threshold  [ref dags/etl_data_pipeline_mongodb_complex.py:57-62]
+#   G3 head / preview   [ref dags/data_extraction.py:19]
+#   G4 take-N limit     [ref dags/kafka_to_mongo_pipeline.py:69-80]
+# One pipeline exercises all four: clean -> gate on count>10 (the
+# "run" branch at sf>=0.01) -> total-ordered head-5, with the gate's
+# count attached to every output row so G1's value is hash-checked
+# too. Deterministic: limit only after a total order
+# (TakeOrderedAndProject).
 # --------------------------------------------------------------------
 @query(
     "q_count_gate",
     oracle=f"""
-    SELECT * FROM ({_NULLED_CUSTOMER_SQL})
-    WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+    WITH cleaned AS (
+      SELECT * FROM ({_NULLED_CUSTOMER_SQL})
+      WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+    )
+    SELECT c_custkey, c_name, c_acctbal,
+           (SELECT COUNT(*) FROM cleaned) AS n_rows
+    FROM cleaned ORDER BY c_custkey LIMIT 5
     """,
 )
 def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = drop_null_rows(_customer_with_nulls(spark, sf_dir), how="any")
-    return count_gate(cleaned, min_rows=10)
-
-
-# --------------------------------------------------------------------
-# G3/G4 head/limit [ref dags/data_extraction.py:19; take-N caps] —
-# deterministic: limit only after a total order (TakeOrderedAndProject).
-# --------------------------------------------------------------------
-@query(
-    "q_limit",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    ORDER BY o_orderkey LIMIT 5
-    """,
-)
-def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gated = count_gate(cleaned, min_rows=10)  # G2: driver-side branch
+    n = gated.agg(F.count(F.lit(1)).alias("n_rows"))  # G1
     return (
-        table(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
-        .limit(5)
+        gated.select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .limit(5)  # G3/G4
+        .crossJoin(F.broadcast(n))
     )
