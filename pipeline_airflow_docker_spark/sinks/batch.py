@@ -37,11 +37,83 @@ def append_documents(df: DataFrame, path: str) -> None:
     message; dags/etl_data_pipeline_mongodb.py:38 ``insert_many``].
 
     Engine-side form: bulk append of the full frame to a collection
-    path (Parquet here; with the MongoDB Spark connector deployed this
-    becomes ``df.write.format("mongodb").mode("append")`` — identical
-    call shape, still bulk-per-partition, never per-record).
+    path (Parquet here; ``append_documents_mongo`` below is the same
+    call shape routed through the MongoDB Spark connector, still
+    bulk-per-partition, never per-record).
     """
     df.write.mode("append").parquet(path)
+
+
+def mongo_writer_options(
+    uri: str,
+    database: str,
+    collection: str,
+    id_cols: Sequence[str] = (),
+    ordered: bool = False,
+) -> dict[str, str]:
+    """K4/K5 option set for ``df.write.format("mongodb")`` (MongoDB
+    Spark connector v10+ option names).
+
+    ``id_cols``: when given, the connector builds ``_id`` from these
+    fields and ``upsertDocument`` replaces on collision — the keyed
+    idempotent-upsert semantics of the reference's enhanced consumer
+    [ref dags/kafka_to_mongo_pipeline_enchanced.py:141-145
+    ``update_one(..., upsert=True)``], executed as per-partition bulk
+    writes instead of one RPC per record. ``ordered=False`` lets each
+    bulk batch continue past individual duplicate-key errors, matching
+    ``insert_many(..., ordered=False)``.
+    """
+    opts = {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+        "ordered": str(ordered).lower(),
+    }
+    if id_cols:
+        opts["idFieldList"] = ",".join(id_cols)
+        opts["operationType"] = "replace"
+        opts["upsertDocument"] = "true"
+    return opts
+
+
+def append_documents_mongo(
+    df: DataFrame,
+    uri: str,
+    database: str,
+    collection: str,
+    id_cols: Sequence[str] = (),
+    fallback_path: str | None = None,
+) -> str:
+    """K4/K5 via the MongoDB Spark connector: one config away from the
+    reference's ``insert_many`` / keyed upsert
+    [ref dags/etl_data_pipeline_mongodb.py:38].
+
+    Returns ``"mongodb"`` when the connector handled the write. The
+    connector jar is not bundled with Spark; when it is absent
+    (DATA_SOURCE_NOT_FOUND / ClassNotFound) and ``fallback_path`` is
+    given, the frame lands in the parquet stand-in instead (returns
+    ``"parquet"``) so pipelines stay runnable in connector-less
+    environments; without a fallback the error propagates.
+    """
+    try:
+        (
+            df.write.format("mongodb")
+            .mode("append")
+            .options(**mongo_writer_options(uri, database, collection, id_cols))
+            .save()
+        )
+        return "mongodb"
+    except Exception as exc:  # noqa: BLE001 — connector-absence only
+        msg = str(exc)
+        absent = (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find the data source" in msg
+            or "ClassNotFoundException" in msg
+        )
+        if not absent or fallback_path is None:
+            raise
+        append_documents(df, fallback_path)
+        return "parquet"
 
 
 def write_jdbc_replace(

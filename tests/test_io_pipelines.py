@@ -316,6 +316,46 @@ def test_jdbc_replace_live_roundtrip(spark, tmp_path):
     assert [(r["idx"], r["height"]) for r in rows] == [(9, 60.0)]
 
 
+def test_mongo_writer_options_insert_and_upsert():
+    """K4/K5 connector plumbing, tested the way the Kafka sink's
+    options are: insert_many shape vs keyed-upsert shape [ref
+    dags/kafka_to_mongo_pipeline_enchanced.py:141-145]."""
+    from pipeline_airflow_docker_spark.sinks.batch import mongo_writer_options
+
+    plain = mongo_writer_options("mongodb://h:27017", "etl", "posts")
+    assert plain == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "etl",
+        "collection": "posts",
+        "ordered": "false",
+    }
+    upsert = mongo_writer_options(
+        "mongodb://h:27017", "etl", "posts", id_cols=["userId", "id"]
+    )
+    assert upsert["idFieldList"] == "userId,id"
+    assert upsert["operationType"] == "replace"
+    assert upsert["upsertDocument"] == "true"
+
+
+def test_append_documents_mongo_falls_back_without_connector(spark, tmp_path):
+    """The connector jar isn't bundled; with a fallback path the write
+    lands in the parquet stand-in, without one the error propagates."""
+    import pytest
+
+    from pipeline_airflow_docker_spark.sinks.batch import append_documents_mongo
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, v STRING")
+    out = str(tmp_path / "mongo_standin")
+    route = append_documents_mongo(
+        df, "mongodb://h:27017", "etl", "posts", fallback_path=out
+    )
+    assert route == "parquet"
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    with pytest.raises(Exception, match="mongodb|DATA_SOURCE|ClassNotFound"):
+        append_documents_mongo(df, "mongodb://h:27017", "etl", "posts")
+
+
 # ---- ORC / binaryFile / compaction (round 2) -------------------------
 
 
