@@ -215,3 +215,51 @@ def test_gapfill_materializes_missing_hours(spark):
     assert out[1].total == 0.0
     assert out[1].ffill_total == 10.0 and out[2].ffill_total == 10.0
     assert out[3].ffill_total == 5.0
+
+
+# ---- round-3 plan gates ---------------------------------------------
+
+# Every blocked candidate-generation path must stay an equi-join: a
+# BroadcastNestedLoopJoin or CartesianProduct here is O(n^2) and fatal
+# at corpus scale. q_join_range_binned regressed to an analysis error
+# in round 2 — this pins its plan shape now that it runs again.
+@pytest.mark.parametrize(
+    "name",
+    [
+        # (q_dedup_embedding and q_dedup_ngram are deliberately the
+        # exact quadratic baselines and stay out of this gate; their
+        # blocked counterparts are q_semdedup / q_dedup_minhash.)
+        "q_join_range_binned",
+        "q_dedup_minhash",
+        "q_knn_lsh",
+        "q_knn_ivf",
+        "q_decontaminate",
+        "q_semdedup",
+        "q_dedup_incremental",
+    ],
+)
+def test_blocked_joins_never_nested_loop(spark, sf_dir, name):
+    plan = explain(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    # BroadcastNestedLoopJoin is tolerable only for a literal 1-row
+    # side (e.g. a scalar aggregate broadcast); none of these have one.
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+
+
+# Map-side-only operators must not shuffle at all: their plans should
+# contain zero Exchange operators — at 100 TB these run as a single
+# scan->project->write pipeline per input split.
+@pytest.mark.parametrize(
+    "name",
+    ["q_chunk_docs", "q_redact_pii", "q_embed_quantize", "q_fn_math", "q_split_hash"],
+)
+def test_mapside_ops_have_zero_exchange(spark, sf_dir, name):
+    plan = explain(spark, sf_dir, name)
+    assert "Exchange" not in plan, f"{name}: unexpected shuffle"
+
+
+def test_fuzzy_join_broadcasts_dimension(spark, sf_dir):
+    # The levenshtein candidate join is bounded by broadcasting the
+    # small dimension side; a shuffle join here would move the corpus.
+    plan = explain(spark, sf_dir, "q_fuzzy_join")
+    assert "BroadcastExchange" in plan
