@@ -17,7 +17,8 @@ is used as a partition key on write.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -27,11 +28,17 @@ from pipeline_airflow_docker_spark.functions.text import seeded_md5
 N_BUCKETS = 1000  # per-mille split resolution
 
 
-def hash_bucket(key: Column, seed: int = 42) -> Column:
-    """Stable bucket in [0, 1000): first 8 hex digits of seeded md5,
-    as an integer, mod 1000. Uniform (md5), reproducible anywhere."""
+def hash_mod(key: Column, modulus: int, seed: int = 42) -> Column:
+    """First 8 hex digits of seeded md5 as an integer, mod ``modulus``
+    — the stable content-addressed assignment primitive. Uniform (md5),
+    reproducible in any engine with md5."""
     h = seeded_md5(key.cast("string"), seed)
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % N_BUCKETS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % modulus
+
+
+def hash_bucket(key: Column, seed: int = 42) -> Column:
+    """Stable bucket in [0, 1000)."""
+    return hash_mod(key, N_BUCKETS, seed)
 
 
 def hash_split(
@@ -95,3 +102,79 @@ def stratified_downsample(
         .filter(F.col("__rank") <= n_per_group)
         .drop("__rank")
     )
+
+
+def mix_corpora(
+    corpora: Mapping[str, tuple[DataFrame, float]],
+    key_col: str,
+    seed: int = 42,
+    corpus_col: str = "corpus",
+) -> DataFrame:
+    """Weighted corpus mixing for training-data assembly: union the
+    given corpora, keeping each row with its corpus's sampling rate —
+    the "data mixture" step that turns N raw corpora into one training
+    stream with target proportions (e.g. web 25%, books 100%).
+
+    Content-addressed like hash_split: a row's fate is a pure function
+    of (key, seed), so rates are exact in expectation, stable across
+    runs/engines/partitionings, and re-running after corpus growth
+    keeps every previously-selected row selected. Map-side only: one
+    filter + literal tag per corpus and a union — no shuffle, no
+    sampling pass, no driver state. Schemas must be union-compatible;
+    rate 1.0 keeps everything.
+    """
+    parts: list[DataFrame] = []
+    for name, (df, rate) in corpora.items():
+        if not 0.0 < rate <= 1.0:
+            raise ValueError(f"corpus {name!r}: rate must be in (0, 1], got {rate}")
+        bound = round(rate * N_BUCKETS)
+        parts.append(
+            df.filter(hash_bucket(F.col(key_col), seed) < bound).withColumn(
+                corpus_col, F.lit(name)
+            )
+        )
+    if not parts:
+        raise ValueError("no corpora given")
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 42,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Content-addressed shard id in [0, n_shards) — deterministic,
+    uniform, engine-independent. Map-side projection."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return df.withColumn(
+        shard_col, hash_mod(F.col(key_col), n_shards, seed).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    sort_cols: Sequence[str] = (),
+    seed: int = 42,
+) -> None:
+    """Training-shard export: the last step of a data pipeline — a
+    deterministic N-way shard layout trainers can map to dataloader
+    workers, with stable within-shard order.
+
+    One shuffle (repartition on the shard id), sort within each
+    partition (no global sort), one file per shard per partition
+    under ``shard=<k>/`` directories. Readers get partition pruning on
+    the shard column for free; re-exports are byte-stable because both
+    assignment and order are content-addressed, which makes training
+    runs reproducible and shard diffs meaningful.
+    """
+    out = shard_assign(df, key_col, n_shards, seed)
+    out = out.repartition(n_shards, F.col("shard"))
+    if sort_cols:
+        out = out.sortWithinPartitions("shard", *sort_cols)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -800,6 +800,81 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# C17 corpus mixing (operators/splits.py::mix_corpora): weighted
+# union of corpora into one training stream — "head" sources kept
+# whole, "mid" at 50%, "tail" at 25%. Content-addressed membership
+# (same md5-bucket primitive as q_split_hash), so the oracle replays
+# the exact per-corpus bucket thresholds. Map-side: filter + tag +
+# union, zero shuffle.
+# --------------------------------------------------------------------
+_DD_SRCNUM = "CAST(substr(source, 4) AS INT)"
+
+
+@query(
+    "q_mix_corpora",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CASE WHEN {_DD_SRCNUM} < 6 THEN 'head'
+                WHEN {_DD_SRCNUM} < 13 THEN 'mid'
+                ELSE 'tail' END AS corpus
+    FROM documents
+    WHERE {_DD_BUCKET1000} <
+          CASE WHEN {_DD_SRCNUM} < 6 THEN 1000
+               WHEN {_DD_SRCNUM} < 13 THEN 500
+               ELSE 250 END
+    """,
+)
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.splits import mix_corpora  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    srcnum = F.substring("source", 4, 10).cast("int")
+    return mix_corpora(
+        {
+            "head": (d.filter(srcnum < 6), 1.0),
+            "mid": (d.filter((srcnum >= 6) & (srcnum < 13)), 0.5),
+            "tail": (d.filter(srcnum >= 13), 0.25),
+        },
+        key_col="doc_id",
+    )
+
+
+# --------------------------------------------------------------------
+# C18 training-shard export (operators/splits.py::write_training_shards):
+# content-addressed shard id + stable within-shard order — the layout
+# trainers map to dataloader workers. The qkey grades the assignment +
+# ordering contract (shard, doc_id, ord); the physical partitionBy
+# write is exercised in tests/test_llm.py.
+# --------------------------------------------------------------------
+_DD_SHARD16 = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr(md5('42:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT)), "
+    "(acc, d) -> acc * 16 + d) % 16"
+)
+
+
+@query(
+    "q_export_shards",
+    oracle=f"""
+    SELECT shard, doc_id,
+           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS ord
+    FROM (SELECT doc_id, CAST({_DD_SHARD16} AS INT) AS shard FROM documents)
+    """,
+)
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.operators.splits import shard_assign  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sharded = shard_assign(d, "doc_id", n_shards=16)
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    return sharded.select(
+        "shard", "doc_id", F.row_number().over(w).alias("ord")
+    )
+
+
+# --------------------------------------------------------------------
 # C8 end-to-end corpus clean (operators/corpus.py): quality gate ->
 # minhash near-dup pairs -> connected-components keep-min-id ->
 # deterministic split. The oracle replays every stage over the `kept`

@@ -574,3 +574,59 @@ def test_semdedup_keeps_min_id_per_cluster(spark):
         ).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 3}
+
+
+def test_mix_corpora_rates_and_determinism(spark, sf_dir):
+    """C17: membership is a pure function of (key, seed) — rerunning
+    gives byte-identical selection; rate 1.0 keeps everything; rates
+    land near target in expectation."""
+    from pipeline_airflow_docker_spark.operators.splits import mix_corpora
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    full = d.count()
+    out = mix_corpora({"all": (d, 1.0)}, key_col="doc_id")
+    assert out.count() == full
+
+    mixed = mix_corpora({"a": (d, 0.5), "b": (d, 0.25)}, key_col="doc_id")
+    again = mix_corpora({"a": (d, 0.5), "b": (d, 0.25)}, key_col="doc_id")
+    rows = sorted((r.doc_id, r.corpus) for r in mixed.collect())
+    assert rows == sorted((r.doc_id, r.corpus) for r in again.collect())
+    n_a = sum(1 for _, c in rows if c == "a")
+    n_b = sum(1 for _, c in rows if c == "b")
+    assert abs(n_a / full - 0.5) < 0.12 and abs(n_b / full - 0.25) < 0.12
+    # same seed => corpus b's selection is a subset of corpus a's
+    ids_a = {i for i, c in rows if c == "a"}
+    ids_b = {i for i, c in rows if c == "b"}
+    assert ids_b <= ids_a
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rate"):
+        mix_corpora({"bad": (d, 1.5)}, key_col="doc_id")
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    """C18: shard=<k> directories, every row present exactly once,
+    assignment content-addressed, within-shard order stable."""
+    import os
+
+    from pipeline_airflow_docker_spark.operators.splits import (
+        shard_assign,
+        write_training_shards,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    write_training_shards(d, out, "doc_id", n_shards=8, sort_cols=["doc_id"])
+
+    dirs = {p for p in os.listdir(out) if p.startswith("shard=")}
+    assert dirs == {f"shard={k}" for k in range(8)}
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    want = {
+        (r.doc_id, r.shard)
+        for r in shard_assign(d, "doc_id", 8).select("doc_id", "shard").collect()
+    }
+    got = {(r.doc_id, r.shard) for r in back.collect()}
+    assert got == want
