@@ -104,16 +104,21 @@ def append_documents_mongo(
         )
         return "mongodb"
     except Exception as exc:  # noqa: BLE001 — connector-absence only
-        msg = str(exc)
-        absent = (
-            "DATA_SOURCE_NOT_FOUND" in msg
-            or "Failed to find the data source" in msg
-            or "ClassNotFoundException" in msg
-        )
-        if not absent or fallback_path is None:
+        if not mongo_connector_absent(exc) or fallback_path is None:
             raise
         append_documents(df, fallback_path)
         return "parquet"
+
+
+def mongo_connector_absent(exc: Exception) -> bool:
+    """True when the error means "the MongoDB Spark connector jar is
+    not on the classpath" (as opposed to a real write failure)."""
+    msg = str(exc)
+    return (
+        "DATA_SOURCE_NOT_FOUND" in msg
+        or "Failed to find the data source" in msg
+        or "ClassNotFoundException" in msg
+    )
 
 
 def write_jdbc_replace(

@@ -59,3 +59,38 @@ def upsert_foreach_batch(target_dir: str, keys: list[str], version_cols: list[st
         final.write.mode("overwrite").parquet(target_dir)
 
     return apply
+
+
+def mongo_upsert_foreach_batch(
+    uri: str,
+    database: str,
+    collection: str,
+    keys: list[str],
+    version_cols: list[str],
+    fallback_dir: str | None = None,
+):
+    """foreachBatch body for the reference's streaming kafka->mongo
+    tail [ref dags/kafka_to_mongo_pipeline_enchanced.py:141-145
+    ``update_one(..., upsert=True)`` per message]: dedup the
+    micro-batch to its per-key winners, then bulk-upsert through the
+    MongoDB Spark connector (``idFieldList`` = keys), which makes
+    checkpoint replays idempotent server-side. Without the connector
+    jar, falls back to the parquet merge sink (``upsert_foreach_batch``)
+    so the pipeline stays runnable — same keyed last-writer-wins
+    contract either way.
+    """
+    from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: PLC0415
+        append_documents_mongo,
+        mongo_connector_absent,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        merged = latest_by_key(batch, keys, version_cols)
+        try:
+            append_documents_mongo(merged, uri, database, collection, id_cols=keys)
+        except Exception as exc:  # noqa: BLE001 — connector-absence only
+            if not mongo_connector_absent(exc) or fallback_dir is None:
+                raise
+            upsert_foreach_batch(fallback_dir, keys, version_cols)(merged, batch_id)
+
+    return apply

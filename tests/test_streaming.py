@@ -163,3 +163,30 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     got = {(r.click_id, r.purchase_id) for r in out.collect()}
     want = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_mongo_upsert_foreach_batch_falls_back_to_parquet_merge(spark):
+    """The streaming kafka->mongo tail: without the connector jar the
+    batch lands in the parquet merge sink with identical keyed
+    last-writer-wins semantics; replay stays idempotent."""
+    from pipeline_airflow_docker_spark.streaming.sinks import (
+        mongo_upsert_foreach_batch,
+    )
+
+    df1 = spark.createDataFrame(
+        [(1, "a", 10, 100.0), (2, "b", 1, 7.0)],
+        "k LONG, g STRING, v LONG, val DOUBLE",
+    )
+    df2 = spark.createDataFrame(
+        [(1, "a", 20, 42.0)], "k LONG, g STRING, v LONG, val DOUBLE"
+    )
+    target = os.path.join(tempfile.mkdtemp(prefix="mongo_fb_"), "state")
+    fb = mongo_upsert_foreach_batch(
+        "mongodb://h:27017", "etl", "posts", ["k", "g"], ["v"],
+        fallback_dir=target,
+    )
+    fb(df1, 0)
+    fb(df2, 1)
+    fb(df2, 2)  # replay: idempotent
+    rows = {(r.k, r.g): (r.v, r.val) for r in spark.read.parquet(target).collect()}
+    assert rows == {(1, "a"): (20, 42.0), (2, "b"): (1, 7.0)}
