@@ -21,7 +21,9 @@ bin and shifts work to the residual filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,3 +61,45 @@ def bin_interval_join(
         (F.col(point_ts) >= F.col(lo_col)) & (F.col(point_ts) < F.col(hi_col))
     )
     return joined.drop("__bin")
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreakers: Sequence[str] = (),
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Batch sessionization: assign every event a per-key session
+    index, where a gap > ``gap_seconds`` between consecutive events
+    starts a new session (0-based). The batch mirror of the streaming
+    session window (``streaming/windows.py::session_agg``) for
+    backfills and reprocessing.
+
+    Scale: one shuffle — both window passes (lag, running sum) share
+    the identical partitionBy/orderBy spec, so Catalyst plans a single
+    Exchange + Sort and evaluates them in one Window node chain. No
+    per-key collect, no iteration; a key's events must sort within a
+    task (the same bound every per-key window has — salt mega-keys
+    upstream if one user exceeds a partition).
+
+    Deterministic: ties on ``ts_col`` break by ``order_tiebreakers``
+    (pass the event id); session numbering is then a pure function of
+    the data.
+    """
+    keys = [F.col(c) for c in key_cols]
+    order = [F.col(ts_col)] + [F.col(c) for c in order_tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    gap_us = F.lit(int(gap_seconds) * 1_000_000)
+    is_new = (
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)) > gap_us)
+    ).cast("long")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.withColumn("__is_new", is_new)
+        .withColumn(session_col, (F.sum("__is_new").over(run) - 1).cast("int"))
+        .drop("__is_new")
+    )

@@ -234,3 +234,79 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.col("event_id") != F.col("purchase_id")).select(
         "purchase_id", "event_id", "user_id", "event_type", "ts"
     )
+
+
+# --------------------------------------------------------------------
+# Batch sessionization (operators/intervals.py::sessionize): per-user
+# session indices with a 30-minute inactivity gap — the batch mirror
+# of the streaming session window, for backfills/reprocessing. One
+# shuffle: lag and the running sum share one window spec.
+# --------------------------------------------------------------------
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+             AS session_idx
+    FROM m
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.intervals import sessionize  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    out = sessionize(
+        ev, ["user_id"], "ts", gap_seconds=1800, order_tiebreakers=["event_id"]
+    )
+    return out.select("user_id", "event_id", "session_idx")
+
+
+# --------------------------------------------------------------------
+# Salted skew join (operators/skew.py::salted_join): the manual
+# fallback for pathological key skew — hot fact keys spread over N
+# tasks, the dimension side replicated N x. The oracle is the plain
+# join: salting must never change results, only the shuffle layout.
+# --------------------------------------------------------------------
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.skew import salted_join  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.functions.numeric import dec  # noqa: PLC0415
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "suppkey", num_salts=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )

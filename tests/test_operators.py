@@ -110,3 +110,42 @@ def test_json_roundtrip_and_corrupt_record(spark):
     # corrupt record -> nulls, not a crash (the reference crashed).
     bad = spark.createDataFrame([("{not json",)], "value STRING")
     assert json_deserialize(bad, schema).collect()[0] == Row(id=None, s=None)
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Events exactly at the gap stay in-session; one past it start a
+    new session; numbering is per-key and 0-based."""
+    from pipeline_airflow_docker_spark.operators.intervals import sessionize
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:00"),
+        (1, 11, "2024-01-01 00:30:00"),   # == gap -> same session
+        (1, 12, "2024-01-01 01:00:01"),   # > gap  -> new session
+        (2, 20, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, ts_s STRING"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in sessionize(
+            df, ["user_id"], "ts", 1800, order_tiebreakers=["event_id"]
+        ).collect()
+    }
+    assert out == {(1, 10): 0, (1, 11): 0, (1, 12): 1, (2, 20): 0}
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes share one spec -> exactly one shuffle."""
+    from pipeline_airflow_docker_spark.catalog import table
+    from pipeline_airflow_docker_spark.operators.intervals import sessionize
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "event_id", "ts"
+    )
+    df = sessionize(ev, ["user_id"], "ts", 1800, order_tiebreakers=["event_id"])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]  # operator tree (details repeat names)
+    assert tree.count("Exchange") == 1, plan
