@@ -348,3 +348,67 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def segment_boilerplate_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line/segment-level dedup (the C4 / RefinedWeb boilerplate pass):
+    split each document into non-overlapping ``seg_tokens``-token
+    segments, drop every segment whose exact text occurs in
+    ``min_docs``-or-more distinct documents (headers, footers, nav
+    boilerplate), and reassemble the survivors in original order.
+
+    Scale shape: segments shuffle once for the document-frequency
+    count; the boilerplate set (segments at df >= min_docs) is by
+    construction a small fraction of the corpus, so it broadcasts and
+    the corpus-side removal is a map-side anti-join — the corpus never
+    shuffles a second time. Reassembly sorts inside the aggregate
+    (sort_array over (pos, seg) structs), so output text is
+    deterministic under any parallelism.
+
+    Returns (id, text_clean, n_kept) for documents with at least one
+    surviving segment; fully-boilerplate documents drop out (the
+    caller decides whether that means "remove doc").
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    segs = materialize(segs)  # read twice: freq count + removal join
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("id").alias("dfreq"))
+        .filter(F.col("dfreq") >= min_docs)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -1234,3 +1234,44 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", threshold=0.35, bucketed=True, n_bits=4
     ).select("id_a", "id_b")
     return resolve_components(e.select("vec_id"), pairs, id_col="vec_id")
+
+
+# --------------------------------------------------------------------
+# C19 line/segment-level boilerplate removal (the C4/RefinedWeb pass;
+# operators/dedup.py::segment_boilerplate_removal): non-overlapping
+# 10-token segments, drop segments occurring in >=2 distinct docs,
+# reassemble survivors in order. Segment df-count is the one corpus
+# shuffle; the boilerplate set broadcasts back for a map-side
+# anti-join.
+# --------------------------------------------------------------------
+@query(
+    "q_segment_dedup",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(toks[i*10+1 : (i+1)*10], ' ') AS seg
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT)))
+                     AS i
+            FROM t)
+    ),
+    boiler AS (
+      SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT s.* FROM segs s WHERE s.seg NOT IN (SELECT seg FROM boiler)
+    )
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.dedup import (  # noqa: PLC0415
+        segment_boilerplate_removal,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return segment_boilerplate_removal(d, "doc_id", "text", seg_tokens=10, min_docs=2)

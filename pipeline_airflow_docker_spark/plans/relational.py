@@ -1094,6 +1094,41 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# B23b: the t-digest scale path, graded with the same tolerance
+# contract as q_agg_approx_distinct — emit the exact median plus a
+# boolean "approx landed within 5% of exact"; the oracle asserts the
+# shape with approx_ok=TRUE. approx_percentile is single-pass and
+# mergeable (partial aggregation), the percentile to use when an
+# exact sort-based percentile would dominate the stage at 100 TB.
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50_exact,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", F.lit(0.5)).alias("exact"),
+            F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("exact", 6).alias("p50_exact"),
+            (
+                F.abs(F.col("approx") - F.col("exact"))
+                <= 0.05 * F.abs(F.col("exact"))
+            ).alias("approx_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --------------------------------------------------------------------
 # B24 ordered string aggregation: collect_list -> sort_array ->
 # concat_ws. The explicit sort INSIDE the aggregate is the point:

@@ -630,3 +630,28 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
     }
     got = {(r.doc_id, r.shard) for r in back.collect()}
     assert got == want
+
+
+def test_segment_boilerplate_removal_drops_shared_segments(spark):
+    """C19: a segment appearing in two docs is removed from both;
+    unique segments survive in original order."""
+    from pipeline_airflow_docker_spark.operators.dedup import (
+        segment_boilerplate_removal,
+    )
+
+    boiler = "x " * 9 + "x"  # one exact 10-token segment
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, boiler + " one two three four five six seven eight nine ten"),
+        (3, "solo doc with its own words only here nothing shared at"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: (r.text_clean, r.n_kept)
+        for r in segment_boilerplate_removal(
+            df, "doc_id", "text", seg_tokens=10, min_docs=2
+        ).collect()
+    }
+    assert out[1] == ("alpha beta gamma delta epsilon zeta eta theta iota kappa", 1)
+    assert out[2] == ("one two three four five six seven eight nine ten", 1)
+    assert out[3][1] == 2  # 11 tokens -> 2 segments, both unique
