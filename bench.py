@@ -51,6 +51,8 @@ HEADLINE = [
     "q_dedup_minhash",   # MinHash+LSH near-dup pairs over documents
     "q_chunk_docs",      # document chunking (explode, zero shuffle)
     "q_knn_lsh",         # sign-LSH bucketed ANN over embeddings
+    "q_sessionize",      # gap sessionization (single-shuffle window, round 3)
+    "q_stream_bounded",  # AvailableNow micro-batch consume (round 3)
 ]
 
 # Partition-pruning bench: timed over a partitioned copy of `events`
