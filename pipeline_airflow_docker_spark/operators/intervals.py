@@ -103,3 +103,33 @@ def sessionize(
         .withColumn(session_col, (F.sum("__is_new").over(run) - 1).cast("int"))
         .drop("__is_new")
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    order_tiebreakers: Sequence[str] = (),
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Build slowly-changing-dimension (type 2) validity intervals from
+    a change stream: each row becomes a version valid from its own
+    timestamp until the key's next change (NULL = still current) — the
+    half-open [valid_from, valid_to) convention, so as-of lookups are
+    ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``.
+
+    One shuffle (the per-key lead window); no self-join — the naive
+    formulation joins each row to "the next row per key", which is the
+    same window in disguise at twice the cost. Ties on ``ts_col``
+    break by ``order_tiebreakers`` for deterministic interval chains.
+    """
+    keys = [F.col(c) for c in key_cols]
+    order = [F.col(ts_col)] + [F.col(c) for c in order_tiebreakers]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(from_col, F.col(ts_col))
+        .withColumn(to_col, F.lead(ts_col).over(w))
+        .withColumn(current_col, F.col(to_col).isNull())
+    )

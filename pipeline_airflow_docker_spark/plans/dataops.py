@@ -310,3 +310,37 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# --------------------------------------------------------------------
+# SCD2 dimension build (operators/intervals.py::scd2_intervals):
+# change stream -> half-open validity intervals per (user, event_type)
+# with a current-version flag — the warehouse type-2 dimension the
+# reference's ETL DAGs would need one step downstream. One lead-window
+# shuffle, no self-join.
+# --------------------------------------------------------------------
+@query(
+    "q_scd2",
+    oracle="""
+    SELECT user_id, event_type, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM events
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.intervals import scd2_intervals  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts"
+    )
+    out = scd2_intervals(
+        ev, ["user_id", "event_type"], "ts", order_tiebreakers=["event_id"]
+    )
+    return out.select(
+        "user_id", "event_type", "event_id", "value",
+        "valid_from", "valid_to", "is_current",
+    )
