@@ -1275,3 +1275,85 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return segment_boilerplate_removal(d, "doc_id", "text", seg_tokens=10, min_docs=2)
+
+
+# --------------------------------------------------------------------
+# C20 capstone: end-to-end training-data EXPORT pipeline — the "run
+# your whole workload here" composition: segment-level boilerplate
+# removal -> quality gate on the CLEANED text -> whitespace token
+# budget -> content-addressed split -> shard assignment for the train
+# split. Every stage reuses an already-oracle-checked fragment, so
+# the full five-stage pipeline is hash-checked as one unit. Plan
+# shape: one segment shuffle + broadcast anti-join (C19), map-side
+# quality/tokens/split/shard — no additional shuffles.
+# --------------------------------------------------------------------
+@query(
+    "q_train_export",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(toks[i*10+1 : (i+1)*10], ' ') AS seg
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT)))
+                     AS i
+            FROM t)
+    ),
+    boiler AS (
+      SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cleaned AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+      FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)
+      GROUP BY doc_id
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * least(len(toks)::DOUBLE / 100.0, 1.0)
+                   + 0.3 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                   + 0.3 * (1.0 - len(list_filter(toks, t -> t IN {_DD_STOP}))::DOUBLE / len(toks)),
+                   6) AS quality,
+             len(toks) AS n_tokens
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM cleaned)
+    ),
+    gated AS (SELECT doc_id, quality, n_tokens FROM q WHERE quality >= 0.5)
+    SELECT doc_id, quality, CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN {_DD_BUCKET1000} < 800 THEN 'train'
+                WHEN {_DD_BUCKET1000} < 900 THEN 'val'
+                ELSE 'test' END AS split,
+           CASE WHEN {_DD_BUCKET1000} < 800
+                THEN CAST({_DD_SHARD16} AS INT) ELSE -1 END AS shard
+    FROM gated
+    """,
+)
+def q_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.dedup import (  # noqa: PLC0415
+        segment_boilerplate_removal,
+    )
+    from pipeline_airflow_docker_spark.operators.splits import (  # noqa: PLC0415
+        hash_mod,
+        hash_split,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    cleaned = segment_boilerplate_removal(
+        d, "doc_id", "text", seg_tokens=10, min_docs=2
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    scored = quality_score(cleaned).join(cleaned, "doc_id")
+    gated = scored.filter(F.col("quality") >= 0.5).select(
+        "doc_id",
+        "quality",
+        F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
+    )
+    split = hash_split(gated, "doc_id")
+    return split.select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        "split",
+        F.when(
+            F.col("split") == "train", hash_mod(F.col("doc_id"), 16).cast("int")
+        )
+        .otherwise(F.lit(-1))
+        .alias("shard"),
+    )
