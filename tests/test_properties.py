@@ -280,3 +280,68 @@ def test_quantize_int8_laws(spark, vecs):
         for o, qv in zip(orig, r.q):
             # float32 storage rounds orig; bound with a float32 epsilon
             assert abs(qv * r.scale - o) <= r.scale / 2 + 1e-5 + abs(o) * 1e-6
+
+
+# (user, ts_offset) event rows for sessionize properties.
+EVENT_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=10000),  # seconds offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(rows=EVENT_ROWS)
+def test_sessionize_indices_contiguous_from_zero(spark, rows):
+    """Per key, session indices are exactly 0..max with no holes, and
+    are non-decreasing in time order."""
+    from pipeline_airflow_docker_spark.operators.intervals import sessionize
+
+    df = spark.createDataFrame(
+        [(u, i, f"2024-01-01 00:00:00") for i, (u, _) in enumerate(rows)],
+        "user_id LONG, event_id LONG, base STRING",
+    ).select(
+        "user_id",
+        "event_id",
+        (
+            F.col("base").cast("timestamp")
+            + F.make_interval(secs=F.lit(0) + F.element_at(
+                F.array(*[F.lit(s) for _, s in rows]), F.col("event_id").cast("int") + 1
+            ))
+        ).alias("ts"),
+    )
+    out = sessionize(
+        df, ["user_id"], "ts", gap_seconds=600, order_tiebreakers=["event_id"]
+    ).collect()
+    per_user: dict[int, list] = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    for rs in per_user.values():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        idxs = [r.session_idx for r in rs]
+        assert idxs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(idxs, idxs[1:]))
+
+
+@SLOW
+@given(
+    rate_hi=st.integers(min_value=1, max_value=1000),
+    rate_lo=st.integers(min_value=1, max_value=1000),
+)
+def test_mix_corpora_rate_monotone_subset(spark, rate_hi, rate_lo):
+    """Same corpus at a lower rate selects a SUBSET of the higher rate
+    (content-addressed thresholds are nested), and rate thresholds are
+    exact per-mille cuts of the same hash."""
+    from pipeline_airflow_docker_spark.operators.splits import mix_corpora
+
+    lo, hi = sorted((rate_lo, rate_hi))
+    df = spark.range(200).withColumnRenamed("id", "k")
+    out = mix_corpora(
+        {"hi": (df, hi / 1000), "lo": (df, lo / 1000)}, key_col="k"
+    ).collect()
+    ids_hi = {r.k for r in out if r.corpus == "hi"}
+    ids_lo = {r.k for r in out if r.corpus == "lo"}
+    assert ids_lo <= ids_hi
