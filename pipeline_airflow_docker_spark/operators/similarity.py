@@ -56,11 +56,14 @@ def knn_cosine_ivf(
     k: int = 3,
     n_anchors: int = 8,
     n_probe: int = 2,
+    anchors: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index.
 
     The coarse quantizer is ``n_anchors`` corpus vectors (the smallest
-    ids — deterministic, trained centroids would slot in unchanged).
+    ids — deterministic), or, when ``anchors`` is given, any
+    externally trained ``(aid, vector)`` centroid set — e.g.
+    ``kmeans_centroids`` output (the FAISS train-then-index shape).
     Anchors are collected to the driver and inlined as a literal array,
     the same way FAISS keeps the coarse quantizer resident on every
     node: **cell assignment is then a pure map-side fold — the corpus
@@ -73,13 +76,14 @@ def knn_cosine_ivf(
     smaller anchor id — bit-reproducible across engines, so the DuckDB
     oracle hash-checks this exactly (plans/llm.py::q_knn_ivf).
     """
-    anchors = [
-        (r[0], [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_anchors)
-        .collect()
-    ]
+    if anchors is None:
+        anchors = [
+            (r[0], [float(x) for x in r[1]])
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_anchors)
+            .collect()
+        ]
     anchor_arr = F.array(
         *[
             F.struct(
@@ -208,40 +212,62 @@ def kmeans_lloyd(
     assignments — bit-reproducible across engines. This is what lets
     the DuckDB oracle replay Lloyd's exactly (plans/llm.py::q_kmeans).
     """
+    cents = kmeans_centroids(df, id_col, vec_col, k, n_iter, snap_bits)
+    return df.select(
+        F.col(id_col), _l2_assign_expr(vec_col, cents).alias("cluster")
+    )
+
+
+def _l2_assign_expr(vec_col: str, cent_list: list[list[float]]):
+    """Squared-L2 argmin over driver-resident centroid literals —
+    map-side fold, ties to the lower cluster id (shared by training
+    and final assignment so both stay bit-reproducible)."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+            )
+            for i, cv in enumerate(cent_list)
+        ]
+    )
+    init = F.struct(
+        F.lit(float("inf")).alias("best"),
+        F.lit(-1).cast("int").alias("cid"),
+    )
+    return F.aggregate(
+        cent_arr,
+        init,
+        lambda acc, c: F.when(
+            l2sq(F.col(vec_col), c["cv"]) < acc["best"],
+            F.struct(
+                l2sq(F.col(vec_col), c["cv"]).alias("best"),
+                c["cid"].alias("cid"),
+            ),
+        ).otherwise(acc),
+    )["cid"]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 5,
+    snap_bits: int | None = None,
+) -> list[list[float]]:
+    """The training loop of :func:`kmeans_lloyd`, returning the final
+    centroid list — the trained coarse quantizer to feed
+    ``knn_cosine_ivf(anchors=...)`` (FAISS train-then-index shape)."""
     cents: list[list[float]] = [
         [float(x) for x in r[1]]
         for r in df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     ]
-
-    def assign_expr(cent_list: list[list[float]]):
-        cent_arr = F.array(
-            *[
-                F.struct(
-                    F.lit(i).cast("int").alias("cid"),
-                    F.array(*[F.lit(x) for x in cv]).alias("cv"),
-                )
-                for i, cv in enumerate(cent_list)
-            ]
-        )
-        init = F.struct(
-            F.lit(float("inf")).alias("best"),
-            F.lit(-1).cast("int").alias("cid"),
-        )
-        return F.aggregate(
-            cent_arr,
-            init,
-            lambda acc, c: F.when(
-                l2sq(F.col(vec_col), c["cv"]) < acc["best"],
-                F.struct(
-                    l2sq(F.col(vec_col), c["cv"]).alias("best"),
-                    c["cid"].alias("cid"),
-                ),
-            ).otherwise(acc),
-        )["cid"]
-
     for _ in range(n_iter):
         assigned = df.select(
-            F.col(id_col), F.col(vec_col), assign_expr(cents).alias("cluster")
+            F.col(id_col),
+            F.col(vec_col),
+            _l2_assign_expr(vec_col, cents).alias("cluster"),
         )
         means = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
@@ -262,4 +288,4 @@ def kmeans_lloyd(
             new_cents[cid] = [dims[p] for p in range(len(dims))]
         cents = new_cents
 
-    return df.select(F.col(id_col), assign_expr(cents).alias("cluster"))
+    return cents

@@ -422,7 +422,7 @@ def _km_dist(vec: str, cv: str) -> str:
     )
 
 
-def _km_oracle(k: int, n_iter: int, snap_bits: int) -> str:
+def _km_cte_list(k: int, n_iter: int, snap_bits: int) -> list[str]:
     grid = float(1 << snap_bits)
     dist = _km_dist("e.embedding", "c.cv")
     ctes = [
@@ -458,7 +458,12 @@ def _km_oracle(k: int, n_iter: int, snap_bits: int) -> str:
             FROM m{i} GROUP BY cluster) n USING (cid)
     )"""
         )
-    joined = ",\n    ".join(ctes)
+    return ctes
+
+
+def _km_oracle(k: int, n_iter: int, snap_bits: int) -> str:
+    dist = _km_dist("e.embedding", "c.cv")
+    joined = ",\n    ".join(_km_cte_list(k, n_iter, snap_bits))
     return f"""
     WITH {joined},
     fin AS (
@@ -1356,4 +1361,64 @@ def q_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(-1))
         .alias("shard"),
+    )
+
+
+# --------------------------------------------------------------------
+# C3c IVF with a TRAINED quantizer: kmeans_centroids output feeds
+# knn_cosine_ivf(anchors=...) — the FAISS train-then-index shape,
+# composed from two independently-oracle-checked pieces. The oracle
+# chains the unrolled-Lloyd's CTEs (centroids c3) into the IVF
+# cell/probe/score replay; snapped centroids keep the whole composite
+# bit-reproducible cross-engine.
+# --------------------------------------------------------------------
+def _ivf_trained_oracle() -> str:
+    km = ",\n    ".join(_km_cte_list(k=8, n_iter=3, snap_bits=20))
+    return f"""
+    WITH {km},
+    a AS (SELECT cid AS aid, cv AS av FROM c3),
+    cells AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT c.vec_id, c.embedding, a.aid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_dd_cos('c.embedding', 'a.av')} DESC, a.aid) AS rn
+        FROM embeddings c CROSS JOIN a
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, a.aid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_dd_cos('q.embedding', 'a.av')} DESC, a.aid) AS rn
+        FROM embeddings q CROSS JOIN a WHERE q.vec_id < 10
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_dd_cos('p.qv', 'c.embedding')} AS cos
+      FROM probes p JOIN cells c
+        ON p.cell = c.cell AND c.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+@query("q_knn_ivf_trained", oracle=_ivf_trained_oracle())
+def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.similarity import (  # noqa: PLC0415
+        kmeans_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, k=8, n_iter=3, snap_bits=20)
+    anchors = [(i, c) for i, c in enumerate(cents)]
+    return knn_cosine_ivf(
+        e.filter(F.col("vec_id") < 10), e, k=3, n_probe=2, anchors=anchors
     )
