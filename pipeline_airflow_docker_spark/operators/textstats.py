@@ -255,3 +255,41 @@ def ngram_counts(
         .orderBy(F.desc("cnt"), F.asc("gram"))
         .limit(top_k)
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary frame —
+    the tokenizer-coverage check run before committing a corpus to a
+    fixed vocab (high OOV => wrong tokenizer or wrong corpus slice).
+
+    Plan shape: explode tokens map-side, LEFT JOIN against the
+    broadcast vocabulary (a top-k vocab is KBs by construction), then
+    one keyed aggregate back to documents. The corpus shuffles once,
+    keyed by its own doc id — skew-free by construction.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("token")
+    )
+    v = F.broadcast(vocab.select(F.col(token_col), F.lit(True).alias("__in_vocab")))
+    flagged = tok.join(v, "token", "left")
+    return (
+        flagged.groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_ratio"),
+        )
+    )

@@ -344,3 +344,40 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id", "value",
         "valid_from", "valid_to", "is_current",
     )
+
+
+# --------------------------------------------------------------------
+# Tokenizer-coverage check (operators/textstats.py::oov_rate): per-doc
+# out-of-vocabulary rate against the top-100 corpus vocabulary. The
+# vocab is broadcast (KBs); the corpus shuffles once keyed by doc_id.
+# --------------------------------------------------------------------
+@query(
+    "q_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
+        ORDER BY tf DESC, token LIMIT 100
+      )
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+             AS oov_ratio
+    FROM tok t LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.textstats import (  # noqa: PLC0415
+        oov_rate,
+        vocabulary,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    vocab = vocabulary(d, top_k=100).select("token")
+    return oov_rate(d, vocab)
