@@ -190,3 +190,68 @@ def test_mongo_upsert_foreach_batch_falls_back_to_parquet_merge(spark):
     fb(df2, 2)  # replay: idempotent
     rows = {(r.k, r.g): (r.v, r.val) for r in spark.read.parquet(target).collect()}
     assert rows == {(1, "a"): (20, 42.0), (2, "b"): (1, 7.0)}
+
+
+def test_interval_join_left_outer_emits_null_padded(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no purchase within
+    the interval emits null-padded once the watermark passes its
+    eviction bound. Each side streams its OWN directory with aligned
+    file counts — two scans admit files independently under
+    availableNow, so a shared directory desyncs the sides and the
+    min-policy watermark stalls (observed; this layout is the fix) —
+    and the final flush batch performs the eviction."""
+    import pathlib
+    import time
+
+    from pipeline_airflow_docker_spark.streaming.joins import interval_join
+    from pipeline_airflow_docker_spark.streaming.runner import run_to_df
+
+    root = pathlib.Path(tmp_path)
+    cdir, pdir = root / "clicks", root / "purch"
+    cdir.mkdir(), pdir.mkdir()
+
+    def mk(rows):
+        return (
+            spark.createDataFrame(rows, "user_id LONG, event_id LONG, ts_s STRING")
+            .withColumn("ts", F.col("ts_s").cast("timestamp"))
+            .drop("ts_s")
+        )
+
+    # batch 0: the matched pair + the never-matched click
+    mk([(1, 100, "2024-01-01 00:00:00"), (2, 200, "2024-01-01 00:05:00")]).coalesce(
+        1
+    ).write.mode("append").parquet(str(cdir))
+    mk([(1, 101, "2024-01-01 00:10:00")]).coalesce(1).write.mode("append").parquet(
+        str(pdir)
+    )
+    time.sleep(1.1)  # distinct file mtimes => deterministic admission order
+    # batch 1: advances both watermarks a day past click 200's bound
+    mk([(3, 900, "2024-01-02 12:00:00")]).coalesce(1).write.mode("append").parquet(
+        str(cdir)
+    )
+    mk([(98, 901, "2024-01-02 12:00:00")]).coalesce(1).write.mode("append").parquet(
+        str(pdir)
+    )
+
+    def src(d):
+        schema = spark.read.parquet(str(d)).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+        )
+
+    joined = interval_join(
+        src(cdir),
+        src(pdir),
+        key="user_id",
+        upper="30 minutes",
+        watermark="10 minutes",
+        how="leftOuter",
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    out = {(r.click_id, r.purchase_id) for r in run_to_df(joined, "append").collect()}
+    assert (100, 101) in out  # matched pair
+    assert (200, None) in out  # null-padded unmatched click
