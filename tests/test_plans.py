@@ -251,11 +251,27 @@ def test_blocked_joins_never_nested_loop(spark, sf_dir, name):
 # scan->project->write pipeline per input split.
 @pytest.mark.parametrize(
     "name",
-    ["q_chunk_docs", "q_redact_pii", "q_embed_quantize", "q_fn_math", "q_split_hash"],
+    [
+        "q_chunk_docs",
+        "q_redact_pii",
+        "q_embed_quantize",
+        "q_fn_math",
+        "q_split_hash",
+        "q_mix_corpora",
+    ],
 )
 def test_mapside_ops_have_zero_exchange(spark, sf_dir, name):
     plan = explain(spark, sf_dir, name)
     assert "Exchange" not in plan, f"{name}: unexpected shuffle"
+
+
+# One keyed shuffle and nothing more: the window-based operators whose
+# whole cost model is "a single Exchange on the partition key".
+@pytest.mark.parametrize("name", ["q_export_shards", "q_scd2", "q_sessionize"])
+def test_single_shuffle_window_ops(spark, sf_dir, name):
+    plan = explain(spark, sf_dir, name)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, f"{name}: expected exactly 1 Exchange\n{plan}"
 
 
 def test_fuzzy_join_broadcasts_dimension(spark, sf_dir):
