@@ -293,3 +293,53 @@ def oov_rate(
             (F.col("n_oov") / F.col("n_tokens")).alias("oov_ratio"),
         )
     )
+
+
+def rare_bigram_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rare_max: int = 2,
+) -> DataFrame:
+    """Statistical gibberish signal: the fraction of a document's word
+    bigrams that are rare corpus-wide (count <= ``rare_max``) — an
+    integer-exact stand-in for the LM-perplexity quality filter
+    (CCNet-style): fluent text reuses the corpus's common transitions,
+    shredded/gibberish text doesn't. Deliberately integer-only (counts
+    and one final ratio division) so the score is bit-reproducible
+    cross-engine, which float log-prob sums are not.
+
+    Plan: bigrams exploded map-side and materialized once (read by the
+    count and the join); corpus bigram counts are one keyed aggregate;
+    the count join is keyed on the bigram (skew-free: a document's
+    grams spread over the hash space); per-doc aggregate keyed by id.
+    Documents shorter than 2 tokens carry no bigrams and drop out.
+    """
+    from pipeline_airflow_docker_spark.functions.materialize import (  # noqa: PLC0415
+        materialize,
+    )
+
+    toks = tokens(text_col)
+    grams = materialize(
+        df.filter(F.size(toks) >= 2).select(
+            F.col(id_col).alias("__doc"),
+            F.explode(shingles(toks, 2)).alias("gram"),
+        )
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("cnt") <= rare_max, 1).otherwise(0)
+            ).alias("n_rare"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_bigrams",
+            "n_rare",
+            (F.col("n_rare") / F.col("n_bigrams")).alias("rare_ratio"),
+        )
+    )

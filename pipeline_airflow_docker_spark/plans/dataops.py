@@ -381,3 +381,39 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     vocab = vocabulary(d, top_k=100).select("token")
     return oov_rate(d, vocab)
+
+
+# --------------------------------------------------------------------
+# Rare-bigram quality signal (operators/textstats.py::
+# rare_bigram_ratio): integer-exact stand-in for LM-perplexity
+# filtering — fraction of a doc's bigrams that are corpus-rare.
+# Bigrams materialized once; corpus counts one keyed aggregate; join
+# back keyed on the bigram.
+# --------------------------------------------------------------------
+@query(
+    "q_bigram_rarity",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks)-1, 1) + 1),
+                                   i -> concat_ws(' ', toks[i], toks[i+1])))
+               AS gram
+      FROM tok WHERE len(toks) >= 2
+    ),
+    c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS n_rare,
+           SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
+             AS rare_ratio
+    FROM g JOIN c USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.textstats import (  # noqa: PLC0415
+        rare_bigram_ratio,
+    )
+
+    return rare_bigram_ratio(table(spark, sf_dir, "documents"))
