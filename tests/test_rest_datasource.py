@@ -79,3 +79,50 @@ def test_rest_datasource_retries_then_fails(spark, tmp_path):
     )
     with pytest.raises(Exception, match="after 2 attempts"):
         df.collect()
+
+
+def test_rest_stream_datasource_pages_as_offsets(spark, pages_dir):
+    """Streaming variant: page number is the offset. availableNow
+    snapshots ONE prefetched read() for a simple stream reader, so the
+    end-to-end query covers a single batch; the multi-batch offset
+    walk (page advancing, last_page clamp) is asserted directly on the
+    reader below."""
+    from pyspark.sql.types import StructType
+
+    from pipeline_airflow_docker_spark.sources.rest_datasource import (
+        RestJsonStreamReader,
+        register_stream,
+    )
+    from pipeline_airflow_docker_spark.streaming.runner import run_to_df
+
+    register_stream(spark)
+    sdf = (
+        spark.readStream.format("rest_json_stream")
+        .schema(POSTS_SCHEMA)
+        .option("url_template", f"file://{pages_dir}/page{{page}}.json")
+        .option("first_page", "1")
+        .option("last_page", "2")
+        .option("pages_per_batch", "2")
+        .load()
+    )
+    out = run_to_df(sdf, output_mode="append")
+    rows = {r.id for r in out.collect()}
+    assert rows == {10, 11, 12, 20, 21, 22}
+
+    # multi-batch offset walk: one page per read(), clamped at last_page
+    reader = RestJsonStreamReader(
+        StructType.fromDDL(POSTS_SCHEMA),
+        {
+            "url_template": f"file://{pages_dir}/page{{page}}.json",
+            "first_page": "1",
+            "last_page": "2",
+        },
+    )
+    off = reader.initialOffset()
+    assert off == {"page": 1}
+    batch1, off = reader.read(off)
+    assert {r[1] for r in batch1} == {10, 11, 12} and off == {"page": 2}
+    batch2, off = reader.read(off)
+    assert {r[1] for r in batch2} == {20, 21, 22} and off == {"page": 3}
+    batch3, off = reader.read(off)  # past last_page: empty, offset fixed
+    assert list(batch3) == [] and off == {"page": 3}
