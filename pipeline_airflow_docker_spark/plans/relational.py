@@ -1261,3 +1261,66 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("total", ignorenulls=True).over(w).alias("ffill_total"),
         )
     )
+
+
+# --------------------------------------------------------------------
+# B31 recursive CTE (Spark 4 WITH RECURSIVE): hierarchy flattening —
+# the org-chart/category-tree workload — over the region -> nation ->
+# customer containment DAG modeled as a generic edge list. Spark 4
+# supports UNION ALL recursion only (no UNION dedup), so the qkey
+# walks an ACYCLIC hierarchy where path duplication cannot occur;
+# cyclic closures stay on the label-propagation operator
+# (operators/dedup.py::resolve_components), which converges on any
+# graph. Identical SQL runs on both engines.
+# --------------------------------------------------------------------
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT concat('R', r_regionkey) AS parent, concat('N', n_nationkey) AS child
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT concat('N', n_nationkey) AS parent, concat('C', c_custkey) AS child
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+walk AS (
+  SELECT concat('R', r_regionkey) AS node,
+         concat('R', r_regionkey) AS root,
+         0 AS depth,
+         concat('R', r_regionkey) AS path
+  FROM region
+  UNION ALL
+  SELECT e.child AS node, w.root,
+         w.depth + 1 AS depth,
+         concat(w.path, '>', e.child) AS path
+  FROM walk w JOIN edges e ON e.parent = w.node
+)
+SELECT node, root, depth, path FROM walk
+"""
+
+
+@query("q_recursive_cte", oracle=_RECURSIVE_SQL)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# --------------------------------------------------------------------
+# B32 LATERAL correlated subquery (multi-row, ORDER BY + LIMIT): the
+# top-N-per-group shape expressed as SQL the way warehouses write it;
+# the window-function equivalent is q_win_rank. Identical SQL on both
+# engines.
+# --------------------------------------------------------------------
+_LATERAL_SQL = """
+SELECT n.n_name, s.s_name, s.s_acctbal
+FROM nation n,
+LATERAL (
+  SELECT s_name, s_acctbal FROM supplier
+  WHERE s_nationkey = n.n_nationkey
+  ORDER BY s_acctbal DESC, s_name LIMIT 2
+) s
+"""
+
+
+@query("q_lateral", oracle=_LATERAL_SQL)
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
