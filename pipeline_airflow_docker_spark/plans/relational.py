@@ -1324,3 +1324,37 @@ LATERAL (
 def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# --------------------------------------------------------------------
+# B33 VARIANT semi-structured type (Spark 4): parse JSON once into the
+# binary VARIANT encoding, then typed-path extraction — the schema-
+# on-read shape that replaces repeated get_json_object string
+# re-parsing (each call re-parses the string; VARIANT parses once and
+# navigates an indexed binary form — the 100 TB-relevant difference
+# for wide semi-structured scans). Output is plain typed columns so
+# the DuckDB oracle compares via its JSON functions.
+# --------------------------------------------------------------------
+@query(
+    "q_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k,
+           CAST(JSON_EXTRACT(props, '$.k') AS INT) >= 50 AS k_high,
+           upper(event_type) AS event_type_u
+    FROM events
+    WHERE CAST(JSON_EXTRACT(props, '$.k') AS INT) % 2 = 0
+    """,
+)
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select(
+            "event_id",
+            k.alias("k"),
+            (k >= 50).alias("k_high"),
+            F.upper("event_type").alias("event_type_u"),
+        )
+        .filter(F.col("k") % 2 == 0)
+    )
