@@ -69,3 +69,56 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(
+    sdf: DataFrame, key_col: str, value_col: str, key_type: str = "bigint"
+) -> DataFrame:
+    """The same running-totals contract on Spark 4's
+    ``transformWithStateInPandas`` — the successor stateful API:
+    typed state handles (ValueState here; List/MapState for bigger
+    shapes), explicit TimeMode, and per-key timers, replacing
+    applyInPandasWithState's single packed state tuple. Kept alongside
+    the older operator so both APIs stay exercised; same emission
+    contract, so the same oracle grades either.
+
+    Environment note: executing this operator requires ``protobuf``
+    (the state-server wire protocol of transformWithState); in
+    containers without it the query fails at runtime with an
+    ImportError — the test suite skips accordingly, and
+    ``running_totals`` (applyInPandasWithState) is the
+    dependency-free path."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            n, mx = self._state.get() if self._state.exists() else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf[value_col].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_so_far": [n], "max_so_far": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        sdf.select(key_col, value_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=_OUT_SCHEMA.format(key=key_col, ktype=key_type),
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

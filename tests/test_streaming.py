@@ -255,3 +255,28 @@ def test_interval_join_left_outer_emits_null_padded(spark, tmp_path):
     out = {(r.click_id, r.purchase_id) for r in run_to_df(joined, "append").collect()}
     assert (100, 101) in out  # matched pair
     assert (200, None) in out  # null-padded unmatched click
+
+
+def test_running_totals_transform_with_state(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas variant of running_totals:
+    same cross-batch contract. Requires protobuf (the state-server
+    protocol); skipped where it is unavailable."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from pipeline_airflow_docker_spark.streaming.stateful import running_totals_tws
+
+    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    out = run_to_df(running_totals_tws(ev, "user_id", "value"), output_mode="update")
+    batch = {
+        r.user_id: (r.n, float(r.mx))
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    latest: dict = {}
+    for r in out.collect():
+        latest[r.user_id] = (r.n_so_far, float(r.max_so_far))
+    for k, v in latest.items():
+        assert v == batch[k]
