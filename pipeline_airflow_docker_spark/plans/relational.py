@@ -1358,3 +1358,43 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k") % 2 == 0)
     )
+
+
+# --------------------------------------------------------------------
+# B34 string collations (Spark 4): case-insensitive grouping via
+# UTF8_LCASE collation — grouping/compare semantics carried by the
+# TYPE rather than wrapped lower() calls at every use site (and
+# collation-aware comparisons stay eligible for pushdown/codegen).
+# The output key is lower()-canonicalized so the cross-engine hash is
+# well-defined; the oracle expresses the same semantics with lower().
+# --------------------------------------------------------------------
+@query(
+    "q_collation",
+    oracle="""
+    SELECT lower(CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END) AS event_type_ci,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return (
+        e.groupBy(ci.alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lower(F.col("g").cast("string")).alias("event_type_ci"),
+            "n",
+            "n_users",
+        )
+        .orderBy("event_type_ci")
+    )
