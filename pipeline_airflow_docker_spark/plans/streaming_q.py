@@ -276,3 +276,52 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["latest_by_key"]
+
+
+# --------------------------------------------------------------------
+# Streaming E2E capstone — the reference's whole DAG shape
+# (consume -> dedup -> transform -> windowed aggregate -> idempotent
+# sink -> serve) as ONE graded unit [ref dags/kafka_to_mongo_pipeline
+# .py:55-82 consume+transform+sink, kafka_to_mongo_pipeline_enchanced
+# .py:141-145 idempotent upsert]: redelivered events (the stream is
+# unioned with itself) are removed by stateful dedup, click events
+# aggregate into hourly tumbling (window, type) counts, each
+# micro-batch merges into the parquet upsert target keyed on the
+# window, and the served table is the graded output. The oracle
+# replays it relationally: DISTINCT events -> filter -> hour bucket ->
+# grouped counts.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_e2e",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.streaming.windows import (  # noqa: PLC0415
+        dedup_by_key,
+        tumbling_counts,
+    )
+
+    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    redelivered = ev.unionByName(ev)  # at-least-once delivery simulated
+    deduped = dedup_by_key(redelivered, ["event_id"])
+    filtered = deduped.filter(F.col("event_type").isin("click", "purchase"))
+    agg = tumbling_counts(filtered, window="1 hour", delay=None)
+    target = os.path.join(tempfile.mkdtemp(prefix="padspark_e2e_"), "serve")
+    run_to_df(
+        agg,
+        output_mode="complete",
+        foreach_batch=upsert_foreach_batch(
+            target,
+            keys=["window_start", "event_type"],
+            version_cols=["n_events"],
+        ),
+    )
+    return spark.read.parquet(target)

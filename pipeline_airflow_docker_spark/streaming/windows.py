@@ -32,13 +32,17 @@ DETERMINISTIC_DELAY = "3650 days"
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",
-    delay: str = DETERMINISTIC_DELAY,
+    delay: str | None = DETERMINISTIC_DELAY,
 ) -> DataFrame:
     """Per (tumbling window, event_type): event count + exact value
     sum. Partial aggregation happens per micro-batch; state holds one
-    row per open window."""
+    row per open window. ``delay=None`` => the input already carries a
+    watermark (Spark disallows redefining one mid-pipeline), e.g. when
+    chained after a stateful dedup."""
+    if delay is not None:
+        events = events.withWatermark("ts", delay)
     return (
-        events.withWatermark("ts", delay)
+        events
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
         .select(
