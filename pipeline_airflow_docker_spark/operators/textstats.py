@@ -343,3 +343,53 @@ def rare_bigram_ratio(
             (F.col("n_rare") / F.col("n_bigrams")).alias("rare_ratio"),
         )
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    standard pre-training heuristic gate): token-count bounds, mean
+    token length bounds, symbol-to-token ratio (# and ellipsis), and
+    the fraction of tokens containing at least one alphabetic
+    character. Emits every signal plus the composite keep verdict so
+    pipelines can audit which rule fired.
+
+    Pure map-side column expressions (one projection, zero shuffle);
+    integer counts and single-division ratios — bit-reproducible
+    cross-engine.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    avg_len = sum_len.cast("double") / n_tok
+    n_symbol = (
+        F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    symbol_ratio = n_symbol.cast("double") / n_tok
+    alpha_ratio = n_alpha.cast("double") / n_tok
+    keep = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (avg_len >= min_avg_len)
+        & (avg_len <= max_avg_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (alpha_ratio >= min_alpha_word_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        keep.alias("keep"),
+    )

@@ -1422,3 +1422,39 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cosine_ivf(
         e.filter(F.col("vec_id") < 10), e, k=3, n_probe=2, anchors=anchors
     )
+
+
+# --------------------------------------------------------------------
+# C21 Gopher quality rules (operators/textstats.py::gopher_rules):
+# the standard heuristic document gate — token-count bounds, mean
+# token length, symbol ratio, alphabetic-word ratio, composite keep.
+# Map-side only.
+# --------------------------------------------------------------------
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           list_reduce(list_prepend(0, list_transform(toks, t -> length(t)::INT)),
+                       (a, x) -> a + x)::DOUBLE / len(toks) AS avg_token_len,
+           len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...')))::DOUBLE
+             / len(toks) AS symbol_ratio,
+           len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
+             / len(toks) AS alpha_word_ratio,
+           len(toks) >= 50 AND len(toks) <= 100000
+             AND list_reduce(list_prepend(0, list_transform(toks, t -> length(t)::INT)),
+                             (a, x) -> a + x)::DOUBLE / len(toks) >= 3.0
+             AND list_reduce(list_prepend(0, list_transform(toks, t -> length(t)::INT)),
+                             (a, x) -> a + x)::DOUBLE / len(toks) <= 10.0
+             AND len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...')))::DOUBLE
+                   / len(toks) <= 0.1
+             AND len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))::DOUBLE
+                   / len(toks) >= 0.8
+             AS keep
+    FROM (SELECT doc_id, {_DD_TOKS} FROM documents)
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.textstats import gopher_rules  # noqa: PLC0415
+
+    return gopher_rules(table(spark, sf_dir, "documents"))
