@@ -1458,3 +1458,44 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.operators.textstats import gopher_rules  # noqa: PLC0415
 
     return gopher_rules(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------
+# C22 corpus statistics rollup — the dataset-card / mixture-planning
+# table: per (source, lang) document counts, token totals, byte
+# totals, and share-of-corpus. One grouped aggregate (map-side
+# combined) + a 1-row total broadcast; the shape every mixture
+# decision (mix_corpora rates, downsample caps) is planned from.
+# --------------------------------------------------------------------
+@query(
+    "q_corpus_stats",
+    oracle="""
+    WITH per AS (
+      SELECT source, lang,
+             COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens,
+             SUM(length(text)) AS n_bytes
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per)
+    SELECT source, lang, n_docs, n_tokens, n_bytes,
+           n_tokens::DOUBLE / (SELECT t FROM tot) AS token_share
+    FROM per
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_bytes"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_bytes",
+        (F.col("n_tokens") / F.col("t")).alias("token_share"),
+    )
