@@ -1398,3 +1398,50 @@ def q_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type_ci")
     )
+
+
+# --------------------------------------------------------------------
+# B35 explicit null ordering: Spark sorts ASC NULLS FIRST by default,
+# DuckDB (and most warehouses) ASC NULLS LAST — silent cross-engine
+# divergence unless the query states its null placement. This qkey
+# ranks a nullable measure with explicit NULLS LAST + a key tiebreak
+# on both engines; first/last value picks ignore nulls explicitly.
+# --------------------------------------------------------------------
+@query(
+    "q_win_nulls",
+    oracle="""
+    WITH nulled AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT c_custkey, c_nationkey, bal,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY bal DESC NULLS LAST, c_custkey)
+                AS INT) AS bal_rank,
+           FIRST_VALUE(bal IGNORE NULLS) OVER (
+             PARTITION BY c_nationkey
+             ORDER BY bal DESC NULLS LAST, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS top_bal
+    FROM nulled
+    """,
+)
+def q_win_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    bal = F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("bal").desc_nulls_last(), "c_custkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey", "c_nationkey", bal.alias("bal")
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        "bal",
+        F.row_number().over(w).cast("int").alias("bal_rank"),
+        F.first("bal", ignorenulls=True).over(wf).alias("top_bal"),
+    )
