@@ -1,0 +1,69 @@
+"""Snapshot reconciliation: keyed diff of two table versions.
+
+The reference's pipelines overwrite their sinks blind (`if_exists=
+"replace"`, `insert_many` appends — SURVEY.md §2 K4-K6) with no way to
+answer "what changed since yesterday's load?". `table_diff` is that
+audit: align two snapshots on a key and classify every row as added /
+removed / changed / unchanged — the validation step data teams run
+after every backfill, migration, or engine swap.
+
+Scale shape: each side collapses to (key, row-hash) map-side — the
+hash is md5 over the compared columns with an explicit null sentinel,
+so the shuffle carries ~48 bytes/row regardless of row width — then
+ONE full-outer equi-join on the key decides the class. No
+driver-side collection, no row-by-row compare.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Field separator / null sentinel chosen to not occur in the data; an
+# ambiguous concat would hash ("a", None) and ("a", "") identically.
+_SEP = "\x1f"
+_NULL = "\x00∅"
+
+
+def row_hash(df: DataFrame, cols: Sequence[str]) -> F.Column:
+    """Engine-portable row digest: md5 over the compared columns in
+    declaration order, null-safe. (xxhash64 would be cheaper but is
+    Spark-only; md5 reproduces in any engine, which keeps diffs
+    oracle-checkable and lets two *different* engines reconcile.)"""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols
+    ]
+    return F.md5(F.concat_ws(_SEP, *parts))
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Classify every key across two snapshots: ``added`` (new only),
+    ``removed`` (old only), ``changed`` (both, hash differs),
+    ``unchanged`` (both, hash equal — excluded unless asked: at 100 TB
+    the interesting output is the delta, not the table)."""
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in keys]
+    )
+    o = old.select(*keys, row_hash(old, compare_cols).alias("__h_old"))
+    n = new.select(*keys, row_hash(new, compare_cols).alias("__h_new"))
+    joined = o.join(n, on=list(keys), how="full_outer")
+    change = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(*keys, change.alias("change"))
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out

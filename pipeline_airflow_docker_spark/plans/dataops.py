@@ -417,3 +417,67 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return rare_bigram_ratio(table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------
+# Snapshot reconciliation (operators/reconcile.py::table_diff): keyed
+# diff of two table versions — added/removed/changed — as the
+# post-backfill audit. Each side collapses to (key, md5 row-hash)
+# map-side; one full-outer equi-join classifies. The two snapshots
+# are derived deterministically from orders so both engines replay
+# the identical scenario.
+# --------------------------------------------------------------------
+_DIFF_NULL = "'\\x00∅'"
+
+
+@query(
+    "q_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN round(o_totalprice + 1.0, 2) ELSE o_totalprice END
+               AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_custkey % 97 <> 0
+    ),
+    oh AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31), o_custkey::VARCHAR,
+                           o_totalprice::VARCHAR, o_orderpriority)) AS h
+      FROM old
+    ),
+    nh AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31), o_custkey::VARCHAR,
+                           o_totalprice::VARCHAR, o_orderpriority)) AS h
+      FROM new
+    )
+    SELECT o_orderkey, change FROM (
+      SELECT COALESCE(oh.o_orderkey, nh.o_orderkey) AS o_orderkey,
+             CASE WHEN oh.o_orderkey IS NULL THEN 'added'
+                  WHEN nh.o_orderkey IS NULL THEN 'removed'
+                  WHEN oh.h <> nh.h THEN 'changed'
+                  ELSE 'unchanged' END AS change
+      FROM oh FULL OUTER JOIN nh ON oh.o_orderkey = nh.o_orderkey
+    ) WHERE change <> 'unchanged'
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.reconcile import table_diff  # noqa: PLC0415
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    old = o.filter(F.col("o_orderkey") % 101 != 0)
+    new = o.filter(F.col("o_custkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") + 1.0, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return table_diff(old, new, keys=["o_orderkey"])
