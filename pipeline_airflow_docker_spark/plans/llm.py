@@ -1499,3 +1499,63 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         (F.col("n_tokens") / F.col("t")).alias("token_share"),
     )
+
+
+# --------------------------------------------------------------------
+# C2f dup resolution with QUALITY-priority representatives: same
+# connected components as q_dedup_resolve, but each dup cluster keeps
+# its highest-quality member (ties -> lowest id) instead of the
+# lowest id — what production dedup actually wants (min-id discards
+# the better copy half the time). One extra window over the component
+# key; the component build is unchanged.
+# --------------------------------------------------------------------
+@query(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_DD_MINHASH_PAIR_CTES},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst AS peer FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.peer), d.doc_id)) AS component
+      FROM documents d LEFT JOIN reach r ON d.doc_id = r.id
+      GROUP BY d.doc_id
+    ),
+    q AS ({_DD_QUALITY}),
+    ranked AS (
+      SELECT c.doc_id, c.component, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM comp c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT doc_id, component, quality FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_dup_pairs(
+        d, "doc_id", "text", n=3, n_hashes=8, n_bands=4, threshold=0.8
+    ).select("id_a", "id_b")
+    comp = resolve_components(d.select("doc_id"), pairs, id_col="doc_id")
+    q = quality_score(d)
+    scored = comp.join(q, comp["id"] == q["doc_id"]).select(
+        "doc_id", "component", "quality"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
