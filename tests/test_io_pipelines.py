@@ -424,3 +424,62 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     n_after = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
     assert n_target == 1 and n_after == 1
     assert spark.read.parquet(dest).count() == docs.count()
+
+
+# ---- round-3 format/robustness hardening ----------------------------
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path):
+    """Schema evolution on read: two batches with different columns
+    union under mergeSchema; the missing side null-fills. The
+    lakehouse 'column added mid-history' case."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id LONG, v STRING").write.mode(
+        "append"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, v STRING, score DOUBLE"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_parquet_codecs_roundtrip(spark, tmp_path):
+    """zstd and snappy parquet round-trip identically — codec is a
+    storage knob, never semantics."""
+    src = spark.range(1000).withColumn("v", F.col("id") * 2)
+    got = {}
+    for codec in ("snappy", "zstd"):
+        p = str(tmp_path / codec)
+        src.write.option("compression", codec).mode("overwrite").parquet(p)
+        got[codec] = sorted(
+            (r.id, r.v) for r in spark.read.parquet(p).collect()
+        )
+    assert got["snappy"] == got["zstd"] and len(got["zstd"]) == 1000
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Empty-frame robustness: the round-3 operators must return empty
+    results (same schema), not crash — the 'no data arrived today'
+    backfill case."""
+    from pipeline_airflow_docker_spark.operators.intervals import (
+        scd2_intervals,
+        sessionize,
+    )
+    from pipeline_airflow_docker_spark.operators.reconcile import table_diff
+    from pipeline_airflow_docker_spark.operators.splits import (
+        mix_corpora,
+        shard_assign,
+    )
+
+    empty = spark.createDataFrame(
+        [], "user_id LONG, event_id LONG, ts TIMESTAMP"
+    )
+    assert sessionize(empty, ["user_id"], "ts", 60).count() == 0
+    assert scd2_intervals(empty, ["user_id"], "ts").count() == 0
+    assert shard_assign(empty, "event_id", 4).count() == 0
+    assert mix_corpora({"a": (empty, 0.5)}, key_col="event_id").count() == 0
+    kv = spark.createDataFrame([], "k LONG, v STRING")
+    assert table_diff(kv, kv, keys=["k"]).count() == 0
