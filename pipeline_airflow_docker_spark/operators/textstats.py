@@ -51,17 +51,26 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Composite quality score in [0,1]: length saturation, lexical
-    diversity, non-stopword density. Fixed left-associative expression
-    so the float result reproduces anywhere."""
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality score as a reusable column expression —
+    length saturation, lexical diversity, non-stopword density; fixed
+    left-associative combination so the float result reproduces
+    anywhere. Exposed separately so pipelines can compute quality
+    inline (one projection) instead of joining quality_score's output
+    back to the text — which would duplicate the upstream subtree."""
     toks = tokens(text_col)
     n_tok = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
     stop = count_in(toks, STOPWORDS).cast("double") / n_tok
     len_sat = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
     score = F.lit(0.4) * len_sat + F.lit(0.3) * ttr + F.lit(0.3) * (F.lit(1.0) - stop)
-    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return F.round(score, 6)
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1] per document (see
+    quality_expr)."""
+    return df.select(F.col(id_col), quality_expr(text_col).alias("quality"))
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

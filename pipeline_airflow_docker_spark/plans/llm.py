@@ -1340,16 +1340,23 @@ def q_train_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_split,
     )
 
+    from pipeline_airflow_docker_spark.operators.textstats import (  # noqa: PLC0415
+        quality_expr,
+    )
+
     d = table(spark, sf_dir, "documents")
     cleaned = segment_boilerplate_removal(
         d, "doc_id", "text", seg_tokens=10, min_docs=2
     ).select("doc_id", F.col("text_clean").alias("text"))
-    scored = quality_score(cleaned).join(cleaned, "doc_id")
-    gated = scored.filter(F.col("quality") >= 0.5).select(
+    # quality + token budget inline (one projection): joining
+    # quality_score's output back to the text would plan the whole
+    # segment-removal subtree twice.
+    scored = cleaned.select(
         "doc_id",
-        "quality",
+        quality_expr("text").alias("quality"),
         F.size(F.split("text", " ")).cast("int").alias("n_tokens"),
     )
+    gated = scored.filter(F.col("quality") >= 0.5)
     split = hash_split(gated, "doc_id")
     return split.select(
         "doc_id",
