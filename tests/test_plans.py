@@ -279,3 +279,13 @@ def test_fuzzy_join_broadcasts_dimension(spark, sf_dir):
     # small dimension side; a shuffle join here would move the corpus.
     plan = explain(spark, sf_dir, "q_fuzzy_join")
     assert "BroadcastExchange" in plan
+
+
+def test_train_export_no_duplicate_subtree(spark, sf_dir):
+    """The capstone's quality stage must be an inline projection over
+    the cleaned text — re-joining quality output to the text planned
+    the segment-removal subtree twice (9 exchanges; now 4). Gate with
+    headroom for AQE variation."""
+    plan = explain(spark, sf_dir, "q_train_export")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 5, plan
