@@ -1445,3 +1445,68 @@ def q_win_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("int").alias("bal_rank"),
         F.first("bal", ignorenulls=True).over(wf).alias("top_bal"),
     )
+
+
+# --------------------------------------------------------------------
+# B37 statistical moments with deterministic math: per-group stddev
+# and Pearson correlation from exact DECIMAL moments (n, Σx, Σy, Σx²,
+# Σy², Σxy) — the built-in corr()/stddev() aggregate doubles in
+# partition order and is not bit-reproducible across engines or
+# cluster sizes; moments are (same trick as the z-score screen,
+# operators/profile.py). One partial-agg-friendly shuffle. Precision
+# is deliberately asymmetric per engine quirk: Spark uses (18,4) — a
+# (p,s)x(p,s) product must fit its 38-digit cap ((37,8) does) or it
+# silently reduces scale; DuckDB uses (19,4) — widths <=18 live in
+# int64 and the raw product overflows before widening, while 19
+# forces int128 with an exact (38,8) product. The oracle's
+# decimal->double goes through VARCHAR because DuckDB's direct int128
+# cast computes mantissa*10^-s in floating point (double-rounded, up
+# to 1 ulp off), while string parsing — like Spark's BigDecimal path —
+# is correctly rounded. Both sides then produce bit-identical doubles.
+# --------------------------------------------------------------------
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    dq = dec("l_quantity", 18, 4)
+    dp = dec("l_extendedprice", 18, 4)
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).cast("double").alias("sx"),
+        F.sum(dp).cast("double").alias("sy"),
+        F.sum(dq * dq).cast("double").alias("sxx"),
+        F.sum(dp * dp).cast("double").alias("syy"),
+        F.sum(dq * dp).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("std_qty"),
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
