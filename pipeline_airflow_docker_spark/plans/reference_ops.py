@@ -307,3 +307,49 @@ def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)  # G3/G4
         .crossJoin(F.broadcast(n))
     )
+
+
+# --------------------------------------------------------------------
+# S5 scrape source as a graded qkey [ref dags/
+# scrap_to_kafka_to_mongo_pipeline.py:40-79]: pages are synthesized
+# in-plan from documents (an <h1> holding the first three tokens and
+# two <a href> links derived from doc_id), then parsed back through
+# the REAL scrape operator (BeautifulSoup inside an Arrow batch UDF).
+# The oracle reconstructs the expected (type, index, content) rows
+# directly from the synthesis rule, so the whole parse -> explode
+# path is hash-checked without any network or fixture file.
+# --------------------------------------------------------------------
+@query(
+    "q_scrape",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             concat_ws(' ', toks[1], toks[2], toks[3]) AS title
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+    SELECT doc_id, 'title' AS type, 1 AS index, title AS content FROM t
+    UNION ALL
+    SELECT doc_id, 'link', 1, concat('https://ex.com/', doc_id, '/a') FROM t
+    UNION ALL
+    SELECT doc_id, 'link', 2, concat('https://ex.com/', doc_id, '/b') FROM t
+    """,
+)
+def q_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.sources.scrape import scrape_records  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    title = F.concat_ws(
+        " ", F.element_at(toks, 1), F.element_at(toks, 2), F.element_at(toks, 3)
+    )
+    pages = d.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><h1>"), title, F.lit("</h1>"),
+            F.lit('<a href="https://ex.com/'), F.col("doc_id"), F.lit('/a">x</a>'),
+            F.lit('<a href="https://ex.com/'), F.col("doc_id"), F.lit('/b">y</a>'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return scrape_records(pages)
