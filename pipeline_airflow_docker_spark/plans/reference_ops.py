@@ -353,3 +353,79 @@ def q_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return scrape_records(pages)
+
+
+# --------------------------------------------------------------------
+# P8 byte decode as a graded qkey [ref dags/kafka_to_mongo.py:18
+# ``bytes.decode('utf-8')`` per message]: text -> binary -> cast back
+# to string, the engine's whole-column decode of what the reference
+# does per record. Length checks cover both representations.
+# --------------------------------------------------------------------
+@query(
+    "q_byte_decode",
+    oracle="""
+    SELECT doc_id,
+           text AS decoded,
+           CAST(strlen(text) AS INT) AS n_chars,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_byte_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        payload.cast("string").alias("decoded"),
+        F.length(payload.cast("string")).cast("int").alias("n_chars"),
+        F.octet_length(payload).cast("int").alias("n_bytes"),
+    )
+
+
+# --------------------------------------------------------------------
+# G5 processed-items metrics as a graded qkey [ref
+# dags/kafka_to_mongo_pipeline_enchanced.py:106,159 xcom_push of
+# processed counts]: per-stage row counts of a clean -> validate ->
+# dedup-exact pipeline emitted as a metrics TABLE — the engine-side
+# form of the reference's XCom counters (computed from data, so
+# replayable; the orchestration layer reads this table instead of
+# driver-side state).
+# --------------------------------------------------------------------
+@query(
+    "q_pipeline_metrics",
+    oracle="""
+    WITH raw AS (SELECT doc_id, text, lang FROM documents),
+    validated AS (
+      SELECT * FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS text,
+               CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang
+        FROM raw
+      ) WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    deduped AS (SELECT MIN(doc_id) AS doc_id FROM validated GROUP BY text)
+    SELECT 'raw' AS stage, COUNT(*) AS n_rows FROM raw
+    UNION ALL SELECT 'validated', COUNT(*) FROM validated
+    UNION ALL SELECT 'deduped', COUNT(*) FROM deduped
+    """,
+)
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    nulled = d.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("text"))
+    ).withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(F.col("lang"))
+    )
+    validated = require_keys(nulled, ["text", "lang"])
+    deduped = validated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+    def metric(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(stage).alias("stage"), "n_rows"
+        )
+
+    return (
+        metric("raw", d)
+        .unionByName(metric("validated", validated))
+        .unionByName(metric("deduped", deduped))
+    )
