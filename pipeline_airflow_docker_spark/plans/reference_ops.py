@@ -429,3 +429,36 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(metric("validated", validated))
         .unionByName(metric("deduped", deduped))
     )
+
+
+# --------------------------------------------------------------------
+# K6 JDBC replace as a graded qkey [ref dags/etl_data_pipeline.py:
+# 32-34 ``to_sql(..., if_exists="replace")``]: region written to an
+# embedded Derby database over real JDBC (executor-side batched
+# inserts), then read back over JDBC — the write/read round-trip IS
+# the graded result. Fresh database per invocation (Derby boots one
+# instance per directory).
+# --------------------------------------------------------------------
+@query(
+    "q_jdbc_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.sinks.batch import write_jdbc_replace  # noqa: PLC0415
+
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='padspark_jdbc_')}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    write_jdbc_replace(
+        table(spark, sf_dir, "region").select("r_regionkey", "r_name"),
+        url,
+        "region_t",
+        props,
+    )
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "region_t")
+        .option("driver", props["driver"])
+        .load()
+        .select(F.col("r_regionkey").cast("int"), "r_name")
+    )
