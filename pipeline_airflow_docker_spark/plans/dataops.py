@@ -481,3 +481,62 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("o_totalprice")),
     )
     return table_diff(old, new, keys=["o_orderkey"])
+
+
+# --------------------------------------------------------------------
+# Session summaries on top of sessionize: per (user, session) event
+# count, duration, and value total — the product-analytics session
+# table. The groupBy key (user_id, session_idx) is a superset of the
+# sessionize window key, so the aggregate reuses the same hash
+# partitioning characteristics; decimal-exact value sums.
+# --------------------------------------------------------------------
+@query(
+    "q_session_stats",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+               AS session_idx
+      FROM m
+    )
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS t_start,
+           MAX(ts) AS t_end,
+           date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+             AS duration_sec,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.functions.numeric import dec  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.operators.intervals import sessionize  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    s = sessionize(ev, ["user_id"], "ts", 1800, order_tiebreakers=["event_id"])
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        # integer-div micros: date_diff('second') counts boundary
+        # crossings, not elapsed whole seconds — engines disagree
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+        .alias("duration_sec"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
