@@ -32,8 +32,17 @@ from pipeline_airflow_docker_spark.operators.dedup import (  # noqa: F401
     minhash_incremental,
     ngram_jaccard_pairs,
     resolve_components,
+    segment_boilerplate_removal,
     simhash_docs,
     simhash_dup_pairs,
+)
+from pipeline_airflow_docker_spark.operators.intervals import (  # noqa: F401
+    bin_interval_join,
+    scd2_intervals,
+    sessionize,
+)
+from pipeline_airflow_docker_spark.operators.reconcile import (  # noqa: F401
+    table_diff,
 )
 from pipeline_airflow_docker_spark.operators.embeddings import (  # noqa: F401
     l2_normalize,
@@ -50,6 +59,7 @@ from pipeline_airflow_docker_spark.operators.multimodal import (  # noqa: F401
 )
 from pipeline_airflow_docker_spark.operators.redact import redact_pii  # noqa: F401
 from pipeline_airflow_docker_spark.operators.similarity import (  # noqa: F401
+    kmeans_centroids,
     kmeans_lloyd,
     knn_cosine,
     knn_cosine_bucketed,
@@ -61,12 +71,18 @@ from pipeline_airflow_docker_spark.operators.skew import (  # noqa: F401
 )
 from pipeline_airflow_docker_spark.operators.splits import (  # noqa: F401
     hash_split,
+    mix_corpora,
+    shard_assign,
     stratified_downsample,
+    write_training_shards,
 )
 from pipeline_airflow_docker_spark.operators.textstats import (  # noqa: F401
     fingerprint,
+    gopher_rules,
     lang_id,
+    oov_rate,
     quality_score,
+    rare_bigram_ratio,
     repetition_stats,
     text_stats,
     tfidf_top_terms,

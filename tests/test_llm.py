@@ -655,3 +655,20 @@ def test_segment_boilerplate_removal_drops_shared_segments(spark):
     assert out[1] == ("alpha beta gamma delta epsilon zeta eta theta iota kappa", 1)
     assert out[2] == ("one two three four five six seven eight nine ten", 1)
     assert out[3][1] == 2  # 11 tokens -> 2 segments, both unique
+
+
+def test_training_shards_prune_on_read(spark, sf_dir, tmp_path):
+    """The partitionBy(shard) layout must give readers partition
+    pruning: a shard filter lands in PartitionFilters, not a post-scan
+    Filter — the dataloader-worker benefit the layout exists for."""
+    from pipeline_airflow_docker_spark.operators.splits import (
+        write_training_shards,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    write_training_shards(d, out, "doc_id", n_shards=4, sort_cols=["doc_id"])
+    pruned = spark.read.parquet(out).filter(F.col("shard") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters", 1)[1][:160]
