@@ -11,7 +11,9 @@ an operator decision:
   large shingle table would evict shuffle/cache pages or OOM.
 - ``disk_persist``: ``persist(StorageLevel.DISK_ONLY)`` + eager count.
   Spillable (executor local disk), survives memory pressure; lineage
-  is kept but the physical plan reads the cached blocks.
+  is kept but the physical plan reads the cached blocks. Callers that
+  ITERATE must pass ``truncate=True`` (below) or the logical plan
+  grows with the round count.
 - ``parquet_scratch``: write to scratch parquet and read back — the
   cluster-scale shape (a scratch table on the shuffle-independent
   store). Fully spillable, truncates lineage, and the re-read scan is
@@ -20,13 +22,27 @@ an operator decision:
 
 Select globally with ``SPARK_GRAFT_MATERIALIZE`` or per-call via the
 ``how`` argument. Operators call :func:`materialize` and stay agnostic.
+
+Lifecycle: every materialized DataFrame is tracked; iterative callers
+release superseded rounds with :func:`release` (unpersists the cached
+blocks / deletes the scratch directory), and an ``atexit`` sweep
+removes any scratch directories this process created, so a long-lived
+session or bench run does not accumulate unbounded scratch disk.
+``truncate=True`` asks for lineage truncation as part of the contract:
+``local_checkpoint`` and ``parquet_scratch`` already truncate; under
+``disk_persist`` the call is routed through the scratch-parquet path
+(still spillable, now also a fresh-lineage scan) instead of silently
+growing the plan.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
@@ -34,35 +50,91 @@ from pyspark.storagelevel import StorageLevel
 MODES = ("local_checkpoint", "disk_persist", "parquet_scratch")
 
 _SCRATCH_ROOT: str | None = None
+_ROOT_IS_OURS = False  # created via mkdtemp (sweep whole root at exit)
+
+# DataFrame -> ("disk_persist", None) | ("parquet_scratch", path).
+# Weak keys: a DataFrame the caller dropped needs no explicit release —
+# Spark's ContextCleaner / the atexit sweep reclaim its storage.
+_LIVE: "weakref.WeakKeyDictionary[DataFrame, tuple[str, str | None]]" = (
+    weakref.WeakKeyDictionary()
+)
+_SCRATCH_PATHS: set[str] = set()  # every dir we created, for the exit sweep
 
 
 def _scratch_dir() -> str:
-    global _SCRATCH_ROOT  # noqa: PLW0603
+    global _SCRATCH_ROOT, _ROOT_IS_OURS  # noqa: PLW0603
     if _SCRATCH_ROOT is None:
-        _SCRATCH_ROOT = os.environ.get(
-            "SPARK_GRAFT_SCRATCH"
-        ) or tempfile.mkdtemp(prefix="spark_graft_scratch_")
+        env = os.environ.get("SPARK_GRAFT_SCRATCH")
+        if env:
+            _SCRATCH_ROOT = env
+        else:
+            _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+            _ROOT_IS_OURS = True
     return _SCRATCH_ROOT
 
 
-def materialize(df: DataFrame, how: str | None = None) -> DataFrame:
+@atexit.register
+def _sweep_scratch() -> None:
+    """Delete scratch this process created. A user-supplied
+    ``SPARK_GRAFT_SCRATCH`` root is preserved — only our uuid subdirs
+    inside it are removed."""
+    if _ROOT_IS_OURS and _SCRATCH_ROOT:
+        shutil.rmtree(_SCRATCH_ROOT, ignore_errors=True)
+        return
+    for path in _SCRATCH_PATHS:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def materialize(
+    df: DataFrame, how: str | None = None, *, truncate: bool = False
+) -> DataFrame:
     """Materialize ``df`` once so downstream consumers re-read instead
     of recomputing. Returns a DataFrame backed by the materialized
-    data. See module docstring for the mode trade-offs."""
+    data; pass it to :func:`release` when a newer round supersedes it.
+    ``truncate=True`` additionally guarantees the returned plan has no
+    lineage back to ``df`` (required by iterative callers). See module
+    docstring for the mode trade-offs."""
     how = how or os.environ.get("SPARK_GRAFT_MATERIALIZE", "local_checkpoint")
+    if how == "disk_persist" and truncate:
+        # DISK_ONLY persist keeps lineage; an iterating caller would
+        # build an ever-deeper plan (analyzer/stack limits at high
+        # max_iter). Scratch parquet keeps the spill-to-disk property
+        # this mode was chosen for AND starts a fresh scan lineage.
+        how = "parquet_scratch"
     if how == "local_checkpoint":
         return df.localCheckpoint(eager=True)
     if how == "disk_persist":
         out = df.persist(StorageLevel.DISK_ONLY)
         out.count()  # eager: pay the materialization here, once
+        _LIVE[out] = ("disk_persist", None)
         return out
     if how == "parquet_scratch":
         path = os.path.join(_scratch_dir(), uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(path)
+        _SCRATCH_PATHS.add(path)
         # Re-apply the writer's schema so column types round-trip
         # exactly. Nullability still widens to nullable — Spark marks
         # every file-source field nullable by design — which is safe
         # (values are unchanged) but means this mode's schema is not
         # bit-identical to the input's; dtypes are.
-        return df.sparkSession.read.schema(df.schema).parquet(path)
+        out = df.sparkSession.read.schema(df.schema).parquet(path)
+        _LIVE[out] = ("parquet_scratch", path)
+        return out
     raise ValueError(f"unknown materialize mode {how!r}; known: {MODES}")
+
+
+def release(df: DataFrame) -> None:
+    """Free the storage behind a :func:`materialize` result that no
+    consumer will read again (e.g. the previous round's labels in an
+    iterative loop). Safe on any DataFrame: non-materialized inputs
+    and ``local_checkpoint`` results are a no-op (the ContextCleaner
+    reclaims checkpointed RDDs when the object is collected)."""
+    mode_path = _LIVE.pop(df, None)
+    if mode_path is None:
+        return
+    mode, path = mode_path
+    if mode == "disk_persist":
+        df.unpersist()
+    elif mode == "parquet_scratch" and path is not None:
+        _SCRATCH_PATHS.discard(path)
+        shutil.rmtree(path, ignore_errors=True)

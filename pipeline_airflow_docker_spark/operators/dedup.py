@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pipeline_airflow_docker_spark.functions.materialize import materialize
+from pipeline_airflow_docker_spark.functions.materialize import materialize, release
 from pipeline_airflow_docker_spark.functions.text import (
     band_keys,
     jaccard,
@@ -280,9 +280,11 @@ def resolve_components(
     is two keyed shuffles (equi-join + groupBy), never a cross
     product; dup clusters have tiny diameters in practice (near-dup
     graphs are dense cliques), so 2-4 rounds at any corpus size.
-    Each round's labels are re-materialized (functions/materialize.py;
-    local_checkpoint and parquet_scratch also truncate lineage so
-    plans don't grow with the iteration count). The driver-side loop is the standard Pregel
+    Each round's labels are re-materialized with ``truncate=True``
+    (functions/materialize.py) so the logical plan never grows with the
+    iteration count — in every mode, including ``disk_persist`` — and
+    the superseded round's storage is released as soon as the new
+    round lands. The driver-side loop is the standard Pregel
     shape for iterative graph algorithms (GraphX does the same); the
     only values collected are per-round change counts.
     """
@@ -293,10 +295,10 @@ def resolve_components(
         )
         .dropDuplicates(["src", "dst"])
     )
-    edges = materialize(edges)
+    edges = materialize(edges, truncate=True)
     labels = materialize(nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ))
+    ), truncate=True)
     for _ in range(max_iter):
         # Push each node's current component to its neighbours, then
         # take the min of (own component, pushed components) per node.
@@ -306,7 +308,8 @@ def resolve_components(
         new_labels = materialize(
             labels.unionByName(pushed)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component")),
+            truncate=True,
         )
         changed = (
             new_labels.alias("n")
@@ -314,9 +317,11 @@ def resolve_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        release(labels)  # superseded round: free its blocks/scratch
         labels = new_labels
         if changed == 0:
             break
+    release(edges)  # the returned labels no longer depend on edges
     return labels
 
 

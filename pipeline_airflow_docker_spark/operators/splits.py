@@ -127,7 +127,10 @@ def mix_corpora(
     for name, (df, rate) in corpora.items():
         if not 0.0 < rate <= 1.0:
             raise ValueError(f"corpus {name!r}: rate must be in (0, 1], got {rate}")
-        bound = round(rate * N_BUCKETS)
+        # round() alone would send rates < 1/(2*N_BUCKETS) to bound 0 and
+        # silently drop the whole corpus despite passing the rate check;
+        # a validated-nonzero rate always keeps at least one bucket.
+        bound = max(1, round(rate * N_BUCKETS))
         parts.append(
             df.filter(hash_bucket(F.col(key_col), seed) < bound).withColumn(
                 corpus_col, F.lit(name)

@@ -366,7 +366,7 @@ def q_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            text AS decoded,
-           CAST(strlen(text) AS INT) AS n_chars,
+           CAST(length(text) AS INT) AS n_chars,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes
     FROM documents
     """,

@@ -604,6 +604,15 @@ def test_mix_corpora_rates_and_determinism(spark, sf_dir):
     with _pytest.raises(ValueError, match="rate"):
         mix_corpora({"bad": (d, 1.5)}, key_col="doc_id")
 
+    # A validated-nonzero rate must never silently select zero rows:
+    # 0.0004 would round() to bucket bound 0 — the floor keeps bucket
+    # 0 (≡ rate 0.001), i.e. ~1/1000 of a corpus big enough to hit it.
+    big = spark.range(20000).withColumnRenamed("id", "doc_id")
+    tiny = mix_corpora({"t": (big, 0.0004)}, key_col="doc_id")
+    floor_sel = tiny.count()
+    assert 0 < floor_sel < 20000 * 0.01
+    assert floor_sel == mix_corpora({"t": (big, 0.001)}, key_col="doc_id").count()
+
 
 def test_write_training_shards_layout(spark, sf_dir, tmp_path):
     """C18: shard=<k> directories, every row present exactly once,

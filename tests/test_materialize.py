@@ -7,7 +7,12 @@ from __future__ import annotations
 import pytest
 
 from pipeline_airflow_docker_spark.catalog import table
-from pipeline_airflow_docker_spark.functions.materialize import MODES, materialize
+from pipeline_airflow_docker_spark.functions import materialize as mat
+from pipeline_airflow_docker_spark.functions.materialize import (
+    MODES,
+    materialize,
+    release,
+)
 from pipeline_airflow_docker_spark.operators.dedup import (
     minhash_dup_pairs,
     resolve_components,
@@ -43,3 +48,31 @@ def test_dedup_identical_across_modes(spark, sf_dir, monkeypatch):
     base = got["local_checkpoint"]
     for mode in MODES:
         assert got[mode] == base, f"mode {mode} diverged"
+
+
+def test_release_deletes_parquet_scratch(spark):
+    """release() on a scratch materialization frees the disk now, not
+    at process exit — iterative loops must not accumulate rounds."""
+    import os  # noqa: PLC0415
+
+    df = materialize(spark.range(10), how="parquet_scratch")
+    (path,) = [p for _, p in [mat._LIVE[df]]]
+    assert path is not None and os.path.isdir(path)
+    release(df)
+    assert not os.path.exists(path)
+    release(df)  # idempotent; unknown frames are a no-op too
+    release(spark.range(3))
+
+
+def test_disk_persist_truncate_truncates_lineage(spark):
+    """materialize(truncate=True) must cut the plan in EVERY mode:
+    re-materializing N rounds under disk_persist may not nest N plans
+    (the analyzer/stack blowup ADVICE r03 flagged)."""
+    df = spark.range(50).withColumnRenamed("id", "k")
+    for _ in range(3):
+        df = materialize(df.selectExpr("k + 1 AS k"), how="disk_persist", truncate=True)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # A truncated plan is a bare scan of the materialized result —
+    # at most one projection layer, never the stacked arithmetic.
+    assert plan.count("(k + CAST(1 AS BIGINT))") == 0, plan
+    assert sorted(r.k for r in df.collect()) == list(range(3, 53))

@@ -135,12 +135,12 @@ def test_sessionize_gap_boundaries(spark):
     assert out == {(1, 10): 0, (1, 11): 0, (1, 12): 1, (2, 20): 0}
 
 
-def test_sessionize_single_exchange(spark):
+def test_sessionize_single_exchange(spark, sf_dir):
     """Both window passes share one spec -> exactly one shuffle."""
     from pipeline_airflow_docker_spark.catalog import table
     from pipeline_airflow_docker_spark.operators.intervals import sessionize
 
-    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+    ev = table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
     )
     df = sessionize(ev, ["user_id"], "ts", 1800, order_tiebreakers=["event_id"])
