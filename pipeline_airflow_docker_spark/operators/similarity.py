@@ -18,6 +18,41 @@ from pyspark.sql import functions as F
 from pipeline_airflow_docker_spark.functions.vectors import cosine, l2sq, sign_bucket
 
 
+def _with_vector_set(
+    df: DataFrame,
+    vectors: list[tuple[int, list[float]]],
+    col_name: str,
+    id_type: str = "BIGINT",
+) -> DataFrame:
+    """Attach a small (id, vector) set to every row of ``df`` as ONE
+    array-of-struct column, shipped through a broadcast 1-row
+    crossJoin rather than inlined as a literal expression.
+
+    Why not ``F.array(F.lit(...))``: a literal quantizer is serialized
+    into every task's expression tree, so plan size — and per-task
+    deserialization — grows O(k*dim); at k*dim in the 10^5+ range that
+    bloats the plan (ADVICE r03). A LocalRelation aggregated to one
+    ``collect_list`` row and broadcast moves the same floats through
+    the torrent broadcast exchange (once per executor), keeping the
+    serialized plan O(1) in k while the downstream ``F.aggregate``
+    fold is the *same JVM expression* — same sequential float
+    arithmetic, same tie-breaks, bit-identical results (the DuckDB
+    oracles stay hash-green).
+
+    ``sort_array`` pins element order to ascending id (ids must be
+    unique): folds break argmax/argmin ties toward the first-seen
+    element, so array order is semantics, and ``collect_list`` alone
+    gives no order guarantee.
+    """
+    spark = df.sparkSession
+    rows = [(int(i), [float(x) for x in v]) for i, v in vectors]
+    vdf = spark.createDataFrame(rows, f"id {id_type}, v ARRAY<DOUBLE>")
+    one = vdf.agg(
+        F.sort_array(F.collect_list(F.struct("id", "v"))).alias(col_name)
+    )
+    return df.crossJoin(F.broadcast(one))
+
+
 def knn_cosine(
     queries: DataFrame,
     corpus: DataFrame,
@@ -64,10 +99,13 @@ def knn_cosine_ivf(
     ids — deterministic), or, when ``anchors`` is given, any
     externally trained ``(aid, vector)`` centroid set — e.g.
     ``kmeans_centroids`` output (the FAISS train-then-index shape).
-    Anchors are collected to the driver and inlined as a literal array,
-    the same way FAISS keeps the coarse quantizer resident on every
-    node: **cell assignment is then a pure map-side fold — the corpus
-    never shuffles and never joins to assign cells.** Queries probe
+    Anchors are collected to the driver and re-attached as a broadcast
+    1-row array column (``_with_vector_set``), the same way FAISS
+    keeps the coarse quantizer resident on every node: **cell
+    assignment is then a pure map-side fold — the corpus never
+    shuffles and never equi-joins to assign cells** — while the
+    serialized plan stays O(1) in ``n_anchors`` (the floats travel in
+    the broadcast exchange, not the expression tree). Queries probe
     their ``n_probe`` nearest cells and compare exactly only within
     them, so the scanned fraction is ~n_probe/n_anchors. Recall < 1 by
     design (a true neighbor in an unprobed cell is missed).
@@ -84,32 +122,23 @@ def knn_cosine_ivf(
             .limit(n_anchors)
             .collect()
         ]
-    anchor_arr = F.array(
-        *[
-            F.struct(
-                F.lit(aid).cast("bigint").alias("aid"),
-                F.array(*[F.lit(x) for x in av]).alias("av"),
-            )
-            for aid, av in anchors
-        ]
-    )
 
     def _cell(v):
-        """argmax_a cosine(v, a.av); first-seen (smallest aid) wins ties."""
+        """argmax_a cosine(v, a.v); first-seen (smallest aid) wins ties."""
         init = F.struct(
             F.lit(float("-inf")).alias("best"),
             F.lit(-1).cast("bigint").alias("aid"),
         )
         return F.aggregate(
-            anchor_arr,
+            F.col("__anchors"),
             init,
             lambda acc, a: F.when(
-                cosine(v, a["av"]) > acc["best"],
-                F.struct(cosine(v, a["av"]).alias("best"), a["aid"].alias("aid")),
+                cosine(v, a["v"]) > acc["best"],
+                F.struct(cosine(v, a["v"]).alias("best"), a["id"].alias("aid")),
             ).otherwise(acc),
         )["aid"]
 
-    c = corpus.select(
+    c = _with_vector_set(corpus, anchors, "__anchors").select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         _cell(F.col(vec_col)).alias("cell"),
@@ -118,12 +147,13 @@ def knn_cosine_ivf(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     wp = Window.partitionBy("query_id").orderBy(F.col("acos").desc(), "cell")
     probes = (
-        q.select("query_id", "qv", F.explode(anchor_arr).alias("a"))
+        _with_vector_set(q, anchors, "__anchors")
+        .select("query_id", "qv", F.explode(F.col("__anchors")).alias("a"))
         .select(
             "query_id",
             "qv",
-            F.col("a.aid").alias("cell"),
-            cosine(F.col("qv"), F.col("a.av")).alias("acos"),
+            F.col("a.id").alias("cell"),
+            cosine(F.col("qv"), F.col("a.v")).alias("acos"),
         )
         .withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= n_probe)
@@ -189,9 +219,10 @@ def kmeans_lloyd(
     centroid set; its lowest-id anchors are the untrained default).
 
     Per iteration: (1) assignment is a map-side fold over the
-    driver-resident centroid literal (same deployment shape as the IVF
-    quantizer — k*dim floats inlined into the plan, the corpus never
-    shuffles to be assigned); (2) the update step computes per-cluster
+    driver-resident centroid set, attached as a broadcast 1-row array
+    column (same deployment shape as the IVF quantizer — the corpus
+    never shuffles to be assigned, and the serialized plan stays O(1)
+    in k*dim); (2) the update step computes per-cluster
     dimension means via posexplode + groupBy — one keyed shuffle of
     (cluster, dim, partial-sum) rows, map-side combined, never the
     vectors themselves. Driver traffic per iteration is k*dim means —
@@ -213,39 +244,37 @@ def kmeans_lloyd(
     the DuckDB oracle replay Lloyd's exactly (plans/llm.py::q_kmeans).
     """
     cents = kmeans_centroids(df, id_col, vec_col, k, n_iter, snap_bits)
-    return df.select(
-        F.col(id_col), _l2_assign_expr(vec_col, cents).alias("cluster")
-    )
+    return _assign_clusters(df, vec_col, cents).select(F.col(id_col), "cluster")
 
 
-def _l2_assign_expr(vec_col: str, cent_list: list[list[float]]):
-    """Squared-L2 argmin over driver-resident centroid literals —
-    map-side fold, ties to the lower cluster id (shared by training
-    and final assignment so both stay bit-reproducible)."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("cid"),
-                F.array(*[F.lit(x) for x in cv]).alias("cv"),
-            )
-            for i, cv in enumerate(cent_list)
-        ]
-    )
+def _assign_clusters(
+    df: DataFrame, vec_col: str, cent_list: list[list[float]]
+) -> DataFrame:
+    """Squared-L2 argmin over the broadcast centroid set
+    (``_with_vector_set``) — map-side fold, ties to the lower cluster
+    id (shared by training and final assignment so both stay
+    bit-reproducible). Adds a ``cluster`` column."""
     init = F.struct(
         F.lit(float("inf")).alias("best"),
         F.lit(-1).cast("int").alias("cid"),
     )
-    return F.aggregate(
-        cent_arr,
+    assign = F.aggregate(
+        F.col("__cents"),
         init,
         lambda acc, c: F.when(
-            l2sq(F.col(vec_col), c["cv"]) < acc["best"],
+            l2sq(F.col(vec_col), c["v"]) < acc["best"],
             F.struct(
-                l2sq(F.col(vec_col), c["cv"]).alias("best"),
-                c["cid"].alias("cid"),
+                l2sq(F.col(vec_col), c["v"]).alias("best"),
+                c["id"].alias("cid"),
             ),
         ).otherwise(acc),
     )["cid"]
+    cents = list(enumerate(cent_list))
+    return (
+        _with_vector_set(df, cents, "__cents", id_type="INT")
+        .withColumn("cluster", assign)
+        .drop("__cents")
+    )
 
 
 def kmeans_centroids(
@@ -264,10 +293,8 @@ def kmeans_centroids(
         for r in df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     ]
     for _ in range(n_iter):
-        assigned = df.select(
-            F.col(id_col),
-            F.col(vec_col),
-            _l2_assign_expr(vec_col, cents).alias("cluster"),
+        assigned = _assign_clusters(
+            df.select(F.col(id_col), F.col(vec_col)), vec_col, cents
         )
         means = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))

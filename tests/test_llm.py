@@ -215,7 +215,25 @@ def test_knn_ivf_corpus_side_has_no_shuffle(spark, sf_dir):
         assert "query_id" in ln, f"corpus-side shuffle detected:\n{ln}\n{plan}"
 
 
-def test_chunk_tokens_coverage_and_overlap(spark):
+def test_knn_ivf_plan_size_constant_in_anchors(spark, sf_dir):
+    """The coarse quantizer travels in a broadcast exchange, not the
+    expression tree: an 8x bigger anchor set may not grow the
+    serialized plan (ADVICE r03 flagged the old literal-array form,
+    O(k*dim) per task)."""
+    from pipeline_airflow_docker_spark.operators.similarity import knn_cosine_ivf
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+
+    def plan_chars(n_anchors):
+        df = knn_cosine_ivf(q, e, k=3, n_anchors=n_anchors, n_probe=2)
+        qe = df._jdf.queryExecution()
+        return len(qe.optimizedPlan().toString()) + len(
+            qe.executedPlan().toString()
+        )
+
+    small, big = plan_chars(4), plan_chars(32)
+    assert big <= small * 1.10, (small, big)
     """Every token appears in >= 1 chunk; consecutive chunks overlap by
     window-stride tokens; short docs yield exactly one short chunk."""
     from pipeline_airflow_docker_spark.operators.chunking import chunk_tokens
