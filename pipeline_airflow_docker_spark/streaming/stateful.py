@@ -86,8 +86,8 @@ def running_totals_tws(
     (the state-server wire protocol of transformWithState); in
     containers without it the query fails at runtime with an
     ImportError — the test suite skips accordingly, and
-    ``running_totals`` (applyInPandasWithState) is the
-    dependency-free path."""
+    ``running_totals`` (applyInPandasWithState) is the supported,
+    dependency-free path (SCALE.md §6 records this support policy)."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
         StatefulProcessor,
