@@ -44,6 +44,11 @@ def _with_vector_set(
     element, so array order is semantics, and ``collect_list`` alone
     gives no order guarantee.
     """
+    if col_name in df.columns:
+        raise ValueError(
+            f"column {col_name!r} already exists on the input frame; "
+            "rename it before calling this operator"
+        )
     spark = df.sparkSession
     rows = [(int(i), [float(x) for x in v]) for i, v in vectors]
     vdf = spark.createDataFrame(rows, f"id {id_type}, v ARRAY<DOUBLE>")

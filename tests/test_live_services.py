@@ -73,7 +73,10 @@ def test_kafka_roundtrip_live(spark):
     got = decode_json_values(wire, "event_id LONG, body STRING", keep_meta=True)
     back = {r.event_id: r.body for r in got.collect()}
     assert back == dict(rows)
-    assert got.select("offset").distinct().count() == len(rows)
+    # offsets are per-partition; a broker that auto-creates multi-
+    # partition topics restarts them at 0 per partition, so the
+    # delivery key is (partition, offset), never offset alone.
+    assert got.select("partition", "offset").distinct().count() == len(rows)
 
 
 @pytest.mark.skipif(
@@ -92,7 +95,10 @@ def test_mongo_append_and_upsert_live(spark):
     )
 
     # K5 bulk append through the live connector (no fallback allowed).
-    assert append_documents_mongo(df, MONGO, db, coll) == "mongodb"
+    # id_cols on the FIRST write too: _id must be doc_id-derived from
+    # the start, or the later keyed upsert matches nothing (documents
+    # written without idFieldList get connector-generated ObjectIds).
+    assert append_documents_mongo(df, MONGO, db, coll, id_cols=["doc_id"]) == "mongodb"
     read_opts = mongo_writer_options(MONGO, db, coll)
     back = (
         spark.read.format("mongodb")

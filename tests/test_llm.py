@@ -234,6 +234,9 @@ def test_knn_ivf_plan_size_constant_in_anchors(spark, sf_dir):
 
     small, big = plan_chars(4), plan_chars(32)
     assert big <= small * 1.10, (small, big)
+
+
+def test_chunk_tokens_coverage_and_overlap(spark):
     """Every token appears in >= 1 chunk; consecutive chunks overlap by
     window-stride tokens; short docs yield exactly one short chunk."""
     from pipeline_airflow_docker_spark.operators.chunking import chunk_tokens

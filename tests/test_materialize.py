@@ -71,8 +71,10 @@ def test_disk_persist_truncate_truncates_lineage(spark):
     df = spark.range(50).withColumnRenamed("id", "k")
     for _ in range(3):
         df = materialize(df.selectExpr("k + 1 AS k"), how="disk_persist", truncate=True)
-    plan = df._jdf.queryExecution().analyzed().toString()
-    # A truncated plan is a bare scan of the materialized result —
-    # at most one projection layer, never the stacked arithmetic.
-    assert plan.count("(k + CAST(1 AS BIGINT))") == 0, plan
+    plan = df._jdf.queryExecution().analyzed().toString().lower()
+    # A truncated plan is a bare scan of the materialized result
+    # ("Relation [k#N] parquet") — no arithmetic, no Project stack.
+    # (Analyzed plans print lowercase: "(k#1L + cast(1 as bigint))".)
+    assert "cast(1 as bigint)" not in plan, plan
+    assert plan.lstrip().startswith("relation"), plan
     assert sorted(r.k for r in df.collect()) == list(range(3, 53))
