@@ -57,6 +57,11 @@ from pipeline_airflow_docker_spark.operators.multimodal import (  # noqa: F401
     resize_media,
     sample_frames,
 )
+from pipeline_airflow_docker_spark.operators.profile import (  # noqa: F401
+    histogram_fixed,
+    profile_columns,
+    zscore_outliers,
+)
 from pipeline_airflow_docker_spark.operators.redact import redact_pii  # noqa: F401
 from pipeline_airflow_docker_spark.operators.similarity import (  # noqa: F401
     kmeans_centroids,
@@ -73,6 +78,7 @@ from pipeline_airflow_docker_spark.operators.splits import (  # noqa: F401
     hash_split,
     mix_corpora,
     shard_assign,
+    shuffled_order,
     stratified_downsample,
     write_training_shards,
 )

@@ -89,6 +89,65 @@ def profile_columns(
     ).select("p.*")
 
 
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    scale: int = 100,
+) -> DataFrame:
+    """Equi-width histogram over a numeric column — the distribution
+    companion to :func:`profile_columns` (min/max say nothing about
+    shape; a 100 TB profiling pass wants both from the same scan
+    discipline: map-side bin assignment, ONE keyed shuffle of at most
+    ``n_bins`` partial counts).
+
+    Bin arithmetic is integer-exact and engine-independent: values map
+    to the integer grid as ``floor(value * scale)`` — the product is
+    one IEEE operation and ``floor`` has no rounding-mode ambiguity
+    (unlike cast-to-int, which truncates in Spark but rounds in
+    DuckDB) — then the bin index is an integer division by an integer
+    bin width, so every engine bins every boundary value identically.
+    ``(hi-lo)*scale`` must divide evenly by ``n_bins`` (validated) so
+    the width IS an integer. Out-of-range values clamp into the
+    first/last bin (total count preserved — profiling wants mass, not
+    silent drops). Empty bins are not emitted (join against a bin
+    spine if a dense axis is needed).
+
+    Returns ``(bin, bin_lo, bin_hi, n)``; edges are doubles computed
+    from the integer grid by one division, identical cross-engine.
+    """
+    lo_i = round(lo * scale)
+    hi_i = round(hi * scale)
+    span = hi_i - lo_i
+    if n_bins <= 0 or span <= 0:
+        raise ValueError(f"need n_bins > 0 and hi > lo, got {n_bins}, [{lo}, {hi})")
+    if span % n_bins:
+        raise ValueError(
+            f"(hi-lo)*scale = {span} must divide evenly into {n_bins} bins"
+        )
+    width_i = span // n_bins
+    scaled = F.floor(F.col(value_col) * scale).cast("long")
+    binned = df.select(scaled.alias("__v")).select(
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1),
+                F.expr(f"(__v - {lo_i}) div {width_i}"),
+            ),
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("bin").cast("int").alias("bin"),
+        ((F.col("bin") * width_i + F.lit(lo_i)) / scale).cast("double").alias("bin_lo"),
+        (((F.col("bin") + 1) * width_i + F.lit(lo_i)) / scale)
+        .cast("double")
+        .alias("bin_hi"),
+        "n",
+    )
+
+
 def zscore_outliers(
     df: DataFrame, key: str, value_col: str, k: float = 2.5
 ) -> DataFrame:

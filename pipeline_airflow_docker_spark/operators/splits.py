@@ -157,6 +157,42 @@ def shard_assign(
     )
 
 
+def shuffled_order(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 16,
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets
+    a ``(shard, pos)`` coordinate; reading shards in index order and
+    rows within a shard by ``pos`` yields a fixed pseudo-random
+    permutation of the corpus — what a trainer needs before epoch 0,
+    reproducible across runs/engines/partitionings (content-addressed,
+    like every split in this module).
+
+    Two independent seeded hashes: ``seed`` places the row in a shard,
+    ``seed+1`` orders it within the shard, so within-shard order is
+    uncorrelated with shard assignment. Scale shape: a true global
+    ``row_number() OVER (ORDER BY hash)`` funnels 100 TB through ONE
+    window partition; sharding first bounds every window partition to
+    ~1/n_shards of the data — same parallel-window pattern as
+    ``write_training_shards`` — and n_shards scales with the corpus.
+    The (shard, pos) pair is a total order (pos dense within shard);
+    consumers needing one global ordinal compute
+    ``pos_global = pos-1 + cum_rows(shard)`` from the n_shards-row
+    shard-size table.
+    """
+    shard = hash_mod(F.col(key_col), n_shards, seed).cast("int")
+    order_h = seeded_md5(F.col(key_col).cast("string"), seed + 1)
+    w = Window.partitionBy(shard_col).orderBy(order_h, F.col(key_col))
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w))
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

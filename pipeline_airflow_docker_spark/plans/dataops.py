@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pipeline_airflow_docker_spark.catalog import register_views, table
 from pipeline_airflow_docker_spark.operators.intervals import bin_interval_join
 from pipeline_airflow_docker_spark.operators.profile import (
+    histogram_fixed,
     profile_columns,
     zscore_outliers,
 )
@@ -61,6 +62,37 @@ def _profile_oracle() -> str:
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return profile_columns(li, _PROFILE_COLS)
+
+
+# --------------------------------------------------------------------
+# Equi-width histogram (operators/profile.py::histogram_fixed): the
+# distribution-shape companion to q_profile. Bin index is integer
+# division on the floor(value*scale) grid — floor is IEEE-identical in
+# every engine, unlike cast-to-int (Spark truncates, DuckDB rounds) —
+# so both engines bin every boundary value the same way. Map-side bin
+# assign, one shuffle of <= n_bins partial counts.
+# l_extendedprice spans ~[900, 105000); 20 integer-cent-width bins
+# over [0, 110000) clamp nothing but exercise the clamp expression.
+# --------------------------------------------------------------------
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(bin AS INT) AS bin,
+           (bin * 550000 + 0) / 100 AS bin_lo,
+           ((bin + 1) * 550000 + 0) / 100 AS bin_hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT GREATEST(0, LEAST(19,
+               (CAST(floor(l_extendedprice * 100) AS BIGINT) - 0) // 550000
+             )) AS bin
+      FROM lineitem
+    )
+    GROUP BY bin
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return histogram_fixed(li, "l_extendedprice", lo=0.0, hi=110_000.0, n_bins=20)
 
 
 # --------------------------------------------------------------------

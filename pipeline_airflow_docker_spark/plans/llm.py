@@ -880,6 +880,66 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Deterministic global shuffle (operators/splits.py::shuffled_order):
+# the epoch-0 training permutation as a (shard, pos) coordinate —
+# shard by seeded hash (seed 42), order within shard by an independent
+# hash (seed 43). A global row_number() OVER (ORDER BY hash) would
+# funnel the corpus through ONE window partition; sharding first keeps
+# every window partition at ~1/n_shards and scales with n_shards.
+# Content-addressed, so the oracle replays the permutation exactly.
+# --------------------------------------------------------------------
+@query(
+    "q_shuffle_order",
+    oracle=f"""
+    SELECT doc_id, shard,
+           row_number() OVER (
+             PARTITION BY shard
+             ORDER BY md5('43:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM (SELECT doc_id, CAST({_DD_SHARD16} AS INT) AS shard FROM documents)
+    """,
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.splits import shuffled_order  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return shuffled_order(d, "doc_id", n_shards=16).select("doc_id", "shard", "pos")
+
+
+# --------------------------------------------------------------------
+# Leakage-safe grouped split (operators/splits.py::hash_split keyed on
+# the GROUP attribute): hashing `source` instead of `doc_id` sends
+# every document of a source to the SAME split — near-duplicates
+# cluster within sources, so splitting by document would leak
+# train-set text into eval. Same map-side content-addressed machinery
+# as q_split_hash; the invariant (one split per source) is pinned in
+# tests/test_llm.py.
+# --------------------------------------------------------------------
+_DD_SRCBUCKET1000 = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 9), i -> "
+    "(strpos('0123456789abcdef', substr(md5('42:' || source), i, 1)) - 1)::BIGINT)), "
+    "(acc, d) -> acc * 16 + d) % 1000"
+)
+
+
+@query(
+    "q_split_grouped",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN {_DD_SRCBUCKET1000} < 800 THEN 'train'
+                WHEN {_DD_SRCBUCKET1000} < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.splits import hash_split  # noqa: PLC0415
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(d, "source")
+
+
+# --------------------------------------------------------------------
 # C8 end-to-end corpus clean (operators/corpus.py): quality gate ->
 # minhash near-dup pairs -> connected-components keep-min-id ->
 # deterministic split. The oracle replays every stage over the `kept`

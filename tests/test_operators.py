@@ -149,3 +149,27 @@ def test_sessionize_single_exchange(spark, sf_dir):
     )
     tree = plan.split("\n\n")[0]  # operator tree (details repeat names)
     assert tree.count("Exchange") == 1, plan
+
+
+def test_histogram_fixed_mass_edges_and_clamp(spark):
+    """Counts sum to the input size including clamped out-of-range
+    values; edges follow the integer grid; non-dividing spans reject."""
+    import pytest
+    from pipeline_airflow_docker_spark.operators.profile import histogram_fixed
+
+    vals = [(-5.0,), (0.0,), (0.99,), (1.0,), (9.99,), (10.0,), (99.0,), (250.0,)]
+    df = spark.createDataFrame(vals, "v DOUBLE")
+    out = {r.bin: r for r in histogram_fixed(df, "v", 0.0, 100.0, 10).collect()}
+    assert sum(r.n for r in out.values()) == len(vals)
+    # width 10, bins [0,10), [10,20), ... [90,100); out-of-range
+    # clamps into the edge bins.
+    assert out[0].n == 5          # -5 (clamped), 0, 0.99, 1.0, 9.99
+    assert out[1].n == 1          # 10.0 (bin 0's exclusive upper edge)
+    assert out[9].n == 2          # 99.0, 250.0 (clamped)
+    assert (out[0].bin_lo, out[0].bin_hi) == (0.0, 10.0)
+    assert (out[9].bin_lo, out[9].bin_hi) == (90.0, 100.0)
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        histogram_fixed(df, "v", 0.0, 100.0, 7)
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_fixed(df, "v", 100.0, 100.0, 5)
