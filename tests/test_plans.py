@@ -273,6 +273,7 @@ def test_blocked_joins_never_nested_loop(spark, sf_dir, name):
         "q_fn_math",
         "q_split_hash",
         "q_mix_corpora",
+        "q_split_grouped",
     ],
 )
 def test_mapside_ops_have_zero_exchange(spark, sf_dir, name):
@@ -282,7 +283,18 @@ def test_mapside_ops_have_zero_exchange(spark, sf_dir, name):
 
 # One keyed shuffle and nothing more: the window-based operators whose
 # whole cost model is "a single Exchange on the partition key".
-@pytest.mark.parametrize("name", ["q_export_shards", "q_scd2", "q_sessionize"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_export_shards",
+        "q_scd2",
+        "q_sessionize",
+        # histogram: map-side bin assign, one shuffle of <= n_bins
+        # partial counts; shuffle_order: one shard-partitioned window.
+        "q_histogram",
+        "q_shuffle_order",
+    ],
+)
 def test_single_shuffle_window_ops(spark, sf_dir, name):
     plan = explain(spark, sf_dir, name)
     tree = plan.split("\n\n")[0]
