@@ -462,3 +462,41 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .select(F.col("r_regionkey").cast("int"), "r_name")
     )
+
+
+# --------------------------------------------------------------------
+# K-family extension: ORC round-trip, driver-graded. The round-2
+# format matrix already shipped ORC read/write (sources/batch.py::
+# read_orc, sinks/batch.py::write_orc) with pushdown tests; this key
+# puts the pair under the oracle gate. Same in-plan round-trip shape
+# as q_jdbc_roundtrip: write supplier to ORC (fresh scratch dir per
+# invocation), read it back with a predicate + projection — graded
+# against the parquet oracle, so the ORC writer/reader pair must
+# round-trip values exactly. The filter and the 3-column ReadSchema
+# reach the ORC scan (predicate pushdown / column pruning work for
+# ORC like parquet; asserted in tests/test_plans.py).
+# --------------------------------------------------------------------
+@query(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_name
+    FROM supplier
+    WHERE s_nationkey < 10
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.sinks.batch import write_orc  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.sources.batch import read_orc  # noqa: PLC0415
+
+    path = os.path.join(tempfile.mkdtemp(prefix="padspark_orc_"), "supplier_orc")
+    write_orc(
+        table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey", "s_name", "s_acctbal"
+        ),
+        path,
+    )
+    return (
+        read_orc(spark, path)
+        .filter(F.col("s_nationkey") < 10)
+        .select("s_suppkey", "s_nationkey", "s_name")
+    )

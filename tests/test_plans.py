@@ -316,3 +316,15 @@ def test_train_export_no_duplicate_subtree(spark, sf_dir):
     plan = explain(spark, sf_dir, "q_train_export")
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") <= 5, plan
+
+
+def test_orc_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    """The ORC reader must behave like the parquet one at 100 TB: the
+    s_nationkey predicate reaches the scan as a pushed filter and the
+    ReadSchema carries only the 3 projected columns (s_acctbal was
+    written but not read)."""
+    plan = explain(spark, sf_dir, "q_orc_roundtrip")
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert scan and "s_nationkey" in scan[0], plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "s_acctbal" not in read_schema[0], plan
