@@ -500,3 +500,30 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_nationkey") < 10)
         .select("s_suppkey", "s_nationkey", "s_name")
     )
+
+
+# --------------------------------------------------------------------
+# K1+S2 round-trip, driver-graded [ref dags/etl_data_pipeline.py:24
+# ``to_csv(path, index=False)`` then :18 ``pd.read_csv``]: nation
+# written to CSV (fresh scratch dir per invocation) and read back
+# schema-first — the reference's extract→load file hand-off as one
+# oracle-checked unit. Integer/string columns only: CSV is a textual
+# format, and grading float round-trips would test number formatting,
+# not the sink (parquet/ORC/JDBC keys cover binary-exact values).
+# --------------------------------------------------------------------
+@query(
+    "q_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.sinks.batch import write_csv  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.sources.batch import read_csv  # noqa: PLC0415
+
+    path = os.path.join(tempfile.mkdtemp(prefix="padspark_csv_"), "nation_csv")
+    write_csv(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        path,
+    )
+    return read_csv(
+        spark, path, schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    )
