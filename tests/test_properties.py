@@ -345,3 +345,50 @@ def test_mix_corpora_rate_monotone_subset(spark, rate_hi, rate_lo):
     ids_hi = {r.k for r in out if r.corpus == "hi"}
     ids_lo = {r.k for r in out if r.corpus == "lo"}
     assert ids_lo <= ids_hi
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=40,
+    ),
+    # the [-100, 100) span at scale 100 is 20000 grid units; n_bins
+    # must divide it evenly (validated by the operator)
+    n_bins=st.sampled_from([1, 2, 4, 5, 8, 10]),
+)
+def test_histogram_conserves_mass_and_bins_are_sane(spark, vals, n_bins):
+    """Σ bin counts == |input| for ANY data and any valid binning
+    (clamping may move mass to edge bins, never drop it); every bin id
+    is in range and every count positive."""
+    from pipeline_airflow_docker_spark.operators.profile import histogram_fixed
+
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    out = histogram_fixed(df, "v", lo=-100.0, hi=100.0, n_bins=n_bins).collect()
+    assert sum(r.n for r in out) == len(vals)
+    for r in out:
+        assert 0 <= r.bin < n_bins and r.n > 0
+        assert abs((r.bin_hi - r.bin_lo) * n_bins - 200.0) < 1e-9
+
+
+@SLOW
+@given(
+    keys=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+    n_shards=st.integers(min_value=1, max_value=8),
+)
+def test_shuffled_order_total_permutation_any_keys(spark, keys, n_shards):
+    """For ANY key set: every key gets exactly one (shard, pos)
+    coordinate, shards are in range, and pos is dense 1..n within each
+    shard — i.e. the output is a permutation, never a drop or a dup."""
+    from pipeline_airflow_docker_spark.operators.splits import shuffled_order
+
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    out = shuffled_order(df, "k", n_shards=n_shards).collect()
+    assert len(out) == len(keys) and {r.k for r in out} == keys
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < n_shards
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
