@@ -9,6 +9,7 @@ into single physical plans (the reference materialized every stage to
 
 from pipeline_airflow_docker_spark.operators.cleaning import (  # noqa: F401
     drop_null_rows,
+    impute_group_mean,
     require_keys,
 )
 from pipeline_airflow_docker_spark.operators.enrich import (  # noqa: F401

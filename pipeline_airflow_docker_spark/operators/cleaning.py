@@ -49,3 +49,37 @@ def require_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     for k in keys:
         pred = pred & F.col(k).isNotNull()
     return df.filter(pred)
+
+
+def impute_group_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill missing values with their group's mean — the standard
+    imputation step between ``drop_null_rows`` (which discards) and
+    model training (which can't eat NULLs): nulls inherit the center
+    of their own stratum instead of a global constant.
+
+    Scale shape (same as ``profile.zscore_outliers``): one aggregate
+    shuffle computes per-group means — order-independent decimal sums
+    (``functions/numeric.py::davg``), so the imputed values are
+    bit-identical under any partitioning — then the tiny stats table
+    broadcasts back onto the fact side, which never shuffles. Groups
+    whose every value is NULL stay NULL (no center to impute from);
+    ``n_imputed`` style accounting belongs to the caller via
+    ``F.col(value_col).isNull()`` before/after.
+    """
+    from pipeline_airflow_docker_spark.functions.numeric import davg  # noqa: PLC0415
+
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("impute_group_mean needs at least one group column")
+    out_col = out_col or value_col
+    stats = df.groupBy(*groups).agg(davg(value_col).alias("__grp_mean"))
+    return (
+        df.join(F.broadcast(stats), on=groups, how="left")
+        .withColumn(out_col, F.coalesce(F.col(value_col), F.col("__grp_mean")))
+        .drop("__grp_mean")
+    )

@@ -93,6 +93,46 @@ def q_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# P-family extension: group-mean imputation — the clean-without-
+# discarding counterpart to P1/P2 (the reference's only answer to a
+# missing value is dropna). Nulled c_acctbal inherits its market
+# segment's mean: one aggregate shuffle (order-independent decimal
+# sums, functions/numeric.py::davg), stats broadcast back, the
+# customer side never shuffles (operators/cleaning.py).
+# --------------------------------------------------------------------
+@query(
+    "q_impute",
+    oracle=f"""
+    WITH n AS ({_NULLED_CUSTOMER_SQL}),
+    s AS (
+      SELECT c_mktsegment,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(c_acctbal) AS grp_mean
+      FROM n GROUP BY c_mktsegment
+    )
+    SELECT n.c_custkey, n.c_mktsegment,
+           COALESCE(n.c_acctbal, s.grp_mean) AS c_acctbal,
+           (n.c_acctbal IS NULL) AS was_imputed
+    FROM n LEFT JOIN s USING (c_mktsegment)
+    """,
+)
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.cleaning import (  # noqa: PLC0415
+        impute_group_mean,
+    )
+
+    nulled = _customer_with_nulls(spark, sf_dir).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return impute_group_mean(nulled, ["c_mktsegment"], "c_acctbal").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (F.col("c_custkey") % 7 == 0).alias("was_imputed"),
+    )
+
+
+# --------------------------------------------------------------------
 # P2 dropna(all) [ref dags/etl_data_pipeline_mongodb_complex.py:40]
 # --------------------------------------------------------------------
 @query(

@@ -173,3 +173,30 @@ def test_histogram_fixed_mass_edges_and_clamp(spark):
         histogram_fixed(df, "v", 0.0, 100.0, 7)
     with pytest.raises(ValueError, match="hi > lo"):
         histogram_fixed(df, "v", 100.0, 100.0, 5)
+
+
+def test_impute_group_mean_fills_center_and_respects_empty_groups(spark):
+    """Nulls inherit their own group's mean (decimal-exact); a group
+    with no observed values stays NULL; non-null values pass through
+    untouched."""
+    from pipeline_airflow_docker_spark.operators.cleaning import impute_group_mean
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0),
+            ("a", 2, None),
+            ("a", 3, 30.0),
+            ("b", 4, 7.5),
+            ("c", 5, None),  # group c has no observed values
+        ],
+        "g STRING, id INT, v DOUBLE",
+    )
+    out = {r.id: r.v for r in impute_group_mean(df, ["g"], "v").collect()}
+    assert out[1] == 10.0 and out[3] == 30.0 and out[4] == 7.5
+    assert out[2] == 20.0          # mean of group a
+    assert out[5] is None          # nothing to impute from
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="group column"):
+        impute_group_mean(df, [], "v")
