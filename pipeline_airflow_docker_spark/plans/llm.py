@@ -617,9 +617,10 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# C5 multimodal: binary payload + typed metadata (oracle-checked), and
-# the Arrow-batched mapInPandas feature path (rows-only: Python fake
-# decode has no SQL equivalent).
+# C5 multimodal: binary payload + typed metadata, and the
+# Arrow-batched mapInPandas feature path — both oracle hash-checked
+# (the deterministic fake decode is byte math DuckDB replays via
+# ord()/list comprehension in q_multimodal_features' oracle).
 # --------------------------------------------------------------------
 @query(
     "q_multimodal_meta",
