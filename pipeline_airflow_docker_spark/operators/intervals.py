@@ -133,3 +133,46 @@ def scd2_intervals(
         .withColumn(to_col, F.lead(ts_col).over(w))
         .withColumn(current_col, F.col(to_col).isNull())
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: str | Sequence[str],
+    start_col: str,
+    end_col: str,
+    order_tiebreak: Sequence[str] = (),
+    island_col: str = "island",
+) -> DataFrame:
+    """Merge overlapping (or touching) intervals per key into maximal
+    covered islands — the gaps-and-islands coalesce behind uptime/SLA
+    windows, maintenance-window stitching, and interval dedup before a
+    range join (fewer, wider probe intervals = fewer bin replicas in
+    ``bin_interval_join``).
+
+    Classic running-max form: an interval starts a new island iff its
+    start exceeds the max end seen so far within the key
+    (``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING``); the island id is
+    the running sum of those flags — deterministic for any tie order
+    (equal starts contribute the same running max), with
+    ``order_tiebreak`` available to pin total order anyway.
+
+    Adds ``island_col`` (1-based per key). Aggregate downstream with
+    ``groupBy(*keys, island)`` — the group-by clusters on a superset
+    of the window's partition keys, so the whole pipeline is ONE
+    exchange (plan-gated in tests). Skew note: one hot key serializes
+    its window partition; islands can't be computed independently of
+    order, so pre-split hot keys by coarse time range and re-merge
+    island boundaries if a single key dominates.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(start_col, end_col, *order_tiebreak)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    running = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(island_col, running)

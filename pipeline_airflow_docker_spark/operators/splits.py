@@ -217,3 +217,56 @@ def write_training_shards(
     if sort_cols:
         out = out.sortWithinPartitions("shard", *sort_cols)
     out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def temperature_downsample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 42,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling: downsample each group
+    (language, source, domain) so the surviving corpus mixes groups
+    proportionally to ``count**alpha`` — the standard multilingual
+    rebalance (alpha=1 keeps natural proportions, alpha->0 approaches
+    uniform; mT5/XLM-R train at alpha≈0.3-0.7). Filtering can only
+    remove rows, so the mix is anchored at the SMALLEST group: it keeps
+    everything (rate 1.0) and every larger group keeps
+    ``(n_min/n)**(1-alpha)`` of its rows, which yields kept counts
+    proportional to ``n**alpha`` exactly.
+
+    Deterministic cross-engine: membership is the content-addressed
+    ``hash_bucket(key) < floor(rate * 1000)`` per-mille test (same md5
+    primitive as every split here), and for the default alpha=0.5 the
+    rate is computed as ``sqrt(n_min/n)`` — IEEE division and sqrt are
+    correctly rounded, so the boundary integer is bit-identical in any
+    engine (general ``pow`` carries no such guarantee; non-default
+    alphas are engine-deterministic but not oracle-exact).
+
+    Scale shape: ONE grouped count over the corpus (map-side partial
+    agg, tiny result), the global min taken by a single-partition
+    window over that counts table (n_groups rows — langs/sources, not
+    documents; an agg-and-rejoin would plan the count subtree twice
+    and scan the corpus again), then the per-group bound broadcasts to
+    the fact side — the corpus itself never shuffles; the keep test is
+    a map-side projection.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_all = Window.partitionBy()  # counts table only — never the corpus
+    ratio = F.min("__n").over(w_all).cast("double") / F.col("__n").cast("double")
+    rate = F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    bounds = counts.select(
+        group_col,
+        rate.alias("__rate"),
+        F.floor(rate * N_BUCKETS).cast("long").alias("__bound"),
+    )
+    kept = df.join(F.broadcast(bounds), group_col).filter(
+        hash_bucket(F.col(key_col), seed) < F.col("__bound")
+    )
+    if rate_col is not None:
+        return kept.withColumnRenamed("__rate", rate_col).drop("__bound")
+    return kept.drop("__rate", "__bound")

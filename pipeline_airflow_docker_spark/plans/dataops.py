@@ -11,7 +11,7 @@ that into the machine-checkable profiles a 100 TB pipeline gates on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.catalog import register_views, table
@@ -571,4 +571,174 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
         .alias("duration_sec"),
         F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------
+# B42 interval coalescing (operators/intervals.py::coalesce_intervals):
+# merge overlapping activity intervals into maximal covered islands —
+# the uptime/coverage-window rollup (each event covers [ts, ts+5min);
+# touching-or-overlapping spans fuse). Running-max gaps-and-islands:
+# new-island flag via max(end) over ROWS UNBOUNDED..1 PRECEDING, id =
+# running sum, then a (user, island) aggregate — which clusters on a
+# superset of the window's partition key, so the whole plan is ONE
+# user_id exchange (plan-gated). Timestamp arithmetic is microsecond-
+# exact in both engines; island numbering is tie-order-independent
+# (equal starts see the same running max).
+# --------------------------------------------------------------------
+@query(
+    "q_intervals_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       >= s
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    )
+    SELECT user_id, island, MIN(s) AS island_start, MAX(e) AS island_end,
+           COUNT(*) AS n_events
+    FROM isl GROUP BY user_id, island
+    """,
+)
+def q_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.intervals import (  # noqa: PLC0415
+        coalesce_intervals,
+    )
+
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    )
+    return coalesce_intervals(iv, "user_id", "s", "e").groupBy(
+        "user_id", "island"
+    ).agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------
+# B43 character-class profile — payload-hygiene screen over a string
+# column (the JSON props blob): per-row counts of digits / letters /
+# whitespace / other, all integer-exact via length-difference after a
+# global regexp strip (the [0-9]/[A-Za-z]/whitespace classes sit in
+# the Java-regex/RE2 common subset, like the PII scrubber). Map-side
+# only — zero shuffle (plan-gated); the schema-drift canary that
+# catches a producer switching number formats or injecting control
+# characters long before a parser does.
+# --------------------------------------------------------------------
+@query(
+    "q_charclass",
+    oracle="""
+    SELECT event_id,
+           CAST(length(props) AS INT) AS n_chars,
+           CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS INT) AS n_digit,
+           CAST(length(props) - length(regexp_replace(props, '[A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+           CAST(length(props) - length(regexp_replace(props, '[ \\t]', '', 'g')) AS INT) AS n_space
+    FROM events
+    """,
+)
+def q_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    n = F.length("props")
+
+    def stripped(pattern: str) -> F.Column:
+        return (n - F.length(F.regexp_replace("props", pattern, ""))).cast("int")
+
+    return ev.select(
+        "event_id",
+        n.cast("int").alias("n_chars"),
+        stripped("[0-9]").alias("n_digit"),
+        stripped("[A-Za-z]").alias("n_alpha"),
+        stripped("[ \\t]").alias("n_space"),
+    )
+
+
+# --------------------------------------------------------------------
+# B44 tolerant-cast quarantine — ANSI-safe ingestion: try_cast turns
+# malformed values into NULL instead of failing the job (Spark 4
+# Column.try_cast ≡ DuckDB TRY_CAST), and the quarantine COUNT is the
+# data-quality metric a pipeline gates on. Only integer-string casts
+# are graded: engines agree there, while TRY_CAST('29.46' AS INT) is
+# NULL under Spark's ANSI literal rules but 29 under DuckDB's
+# round-on-cast — a real cross-engine semantic cliff, documented here
+# and kept OUT of the contract. One grouped aggregate.
+# --------------------------------------------------------------------
+@query(
+    "q_try_cast",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_k_valid,
+           SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           COUNT(TRY_CAST(event_type AS INT)) AS n_type_numeric
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(k).alias("n_k_valid"),
+            F.sum(k).alias("sum_k"),
+            F.count(F.col("event_type").try_cast("int")).alias("n_type_numeric"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------
+# B45 equal-frequency bucketing — ntile quartiles of value within each
+# event_type (the rank-based tiering behind quality bands, price
+# tiers, curriculum buckets) plus per-tier summary stats. ntile is the
+# SQL-standard definition in both engines; ties are pinned by the
+# event_id tiebreak so bucket membership is total-order deterministic.
+# The tier window and the (type, tier) aggregate both cluster on
+# event_type — ONE exchange end-to-end (plan-gated).
+# --------------------------------------------------------------------
+@query(
+    "q_quantile_bucket",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             ntile(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS tier
+      FROM events
+    )
+    SELECT event_type, tier, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM t GROUP BY event_type, tier
+    """,
+)
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.functions import dsum  # noqa: PLC0415
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("tier"))
+        .groupBy("event_type", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            dsum("value").alias("sum_value"),
+        )
     )

@@ -1627,3 +1627,77 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------
+# C25 temperature-scaled mixture (operators/splits.py::
+# temperature_downsample): rebalance languages so the kept corpus
+# mixes ∝ count^0.5 — the multilingual temperature-sampling standard
+# (mT5 §3.1 / XLM-R shape) expressed as a deterministic filter. The
+# smallest language keeps everything; each larger one keeps
+# sqrt(n_min/n) of its docs by content-addressed per-mille bucket, so
+# membership is a pure function of doc_id and the language counts.
+# Plan: grouped count -> 1-row global-min broadcast -> 5-row bound
+# table broadcast to the fact scan; the documents table never
+# shuffles. Oracle replays the identical bound arithmetic (IEEE
+# division/sqrt/floor are correctly rounded — bit-identical bounds)
+# over the same md5 bucket.
+# --------------------------------------------------------------------
+@query(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT MIN(n) AS n_min FROM c),
+    b AS (
+      SELECT lang,
+             CAST(FLOOR(sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)) * 1000)
+                  AS BIGINT) AS bound
+      FROM c, m
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN b USING (lang)
+    WHERE {_DD_BUCKET1000} < b.bound
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.splits import (  # noqa: PLC0415
+        temperature_downsample,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return temperature_downsample(d, group_col="lang", key_col="doc_id", alpha=0.5)
+
+
+# --------------------------------------------------------------------
+# C26 lexical diversity (type-token ratio) — the corpus-quality signal
+# repetition_stats (C13) approaches from the n-gram side, computed
+# per document from the unique-word fraction: templated/spun/generated
+# text scores low, natural prose high (MTLD's first moment). Pure
+# map-side array math — split, array_distinct, two sizes and one IEEE
+# division — zero shuffle (plan-gated), so it composes into any
+# quality gate for free. DuckDB mirrors with string_split +
+# list_distinct.
+# --------------------------------------------------------------------
+@query(
+    "q_lexical_diversity",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr
+    FROM documents
+    """,
+)
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).alias("n_tokens")
+    n_types = F.size(F.array_distinct(toks)).alias("n_types")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens,
+        n_types,
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )

@@ -567,3 +567,39 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_csv(
         spark, path, schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
     )
+
+
+# --------------------------------------------------------------------
+# K2+S3 round-trip, driver-graded [ref dags/etl_data_pipeline_mongodb
+# .py:24 ``to_json(orient="records")`` then :35 ``pd.read_json``]: the
+# reference's JSON file hand-off as one oracle-checked unit,
+# completing the graded sink matrix (CSV q_csv_roundtrip, ORC
+# q_orc_roundtrip, JDBC q_jdbc_roundtrip, parquet shards
+# tests/test_llm.py). Written as Spark-native JSONL, read back
+# schema-first through the array-tolerant reader. Integer/string
+# columns only — JSON is textual; float round-trips would grade number
+# formatting, not the sink (the binary-exact formats cover values).
+# --------------------------------------------------------------------
+@query(
+    "q_jsonl_roundtrip",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer WHERE c_nationkey < 10
+    """,
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: PLC0415
+        write_json_records,
+    )
+    from pipeline_airflow_docker_spark.sources.batch import (  # noqa: PLC0415
+        read_json_records,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="padspark_jsonl_"), "customer_json")
+    write_json_records(
+        table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey"),
+        path,
+    )
+    return read_json_records(
+        spark, path, schema="c_custkey BIGINT, c_name STRING, c_nationkey BIGINT"
+    ).filter(F.col("c_nationkey") < 10)

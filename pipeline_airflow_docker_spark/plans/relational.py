@@ -1510,3 +1510,167 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------
+# B40 Spearman rank correlation — the robust counterpart of B37's
+# Pearson: monotone association free of outlier leverage (heavy-tailed
+# price/quantity columns are the norm in 100 TB telemetry). No Spark
+# builtin. Strategy: average-rank ties, then Pearson over the ranks —
+# but 100% deterministically: the classic average rank for value v in
+# group g is rank + (ties-1)/2, a half-integer; correlation is
+# invariant under affine maps of the ranks, so we use the INTEGER
+# 2*rank + ties - 1 instead and keep every moment in exact DECIMAL
+# (B37's trick — built-in corr() sums doubles in partition order and
+# never bit-reproduces). Physical plan: ONE exchange on l_returnflag
+# (rank windows partition by it; the tie-count windows partition by
+# (flag, value), which hashpartitioning(flag) already satisfies —
+# EnsureRequirements inserts sorts, not shuffles) -> partial+final
+# moment aggregate -> 3-row result. Decimal widths per B37's
+# engine-quirk note: Spark (18,0) so products fit the 38-digit cap;
+# DuckDB (19,0) to force exact int128 products; decimal->double via
+# VARCHAR on the DuckDB side for correctly-rounded doubles.
+# --------------------------------------------------------------------
+@query(
+    "q_corr_spearman",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+                  AS DECIMAL(19,0)) AS rx,
+             CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                  + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+                  AS DECIMAL(19,0)) AS ry
+      FROM lineitem
+    ),
+    m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(CAST(SUM(rx) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(ry) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(rx * rx) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(ry * ry) AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(rx * ry) AS VARCHAR) AS DOUBLE) AS sxy
+      FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+             AS rho_qty_price
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+    def scaled_rank(col: str) -> F.Column:
+        wr = Window.partitionBy("l_returnflag").orderBy(col)
+        wt = Window.partitionBy("l_returnflag", col)
+        return (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).cast("decimal(18,0)")
+
+    ranked = li.select(
+        "l_returnflag",
+        scaled_rank("l_quantity").alias("rx"),
+        scaled_rank("l_extendedprice").alias("ry"),
+    )
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        (
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
+        ).alias("rho_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+# --------------------------------------------------------------------
+# B41 median + MAD (median absolute deviation) per group — the robust
+# center/spread screen (B27's z-score flags outliers against MOMENTS,
+# which the outliers themselves inflate; MAD does not). Spark's
+# percentile()/DuckDB's quantile_cont interpolate at even counts with
+# different expression shapes ((a+b)/2 vs a+(b-a)*f — up to 1 ulp
+# apart), so the qkey pins the LOWER MEDIAN: the order statistic at
+# position (n+1) div 2 by value order — integer-exact, identical in
+# any engine, and the honest choice at scale (exact interpolation
+# needs the same two-row read anyway). Everything is windows over ONE
+# l_returnflag partitioning: rank -> per-group median via
+# max(CASE rn = pos) -> |x-med| -> re-rank by deviation (a re-SORT,
+# not a re-shuffle — EnsureRequirements sees the partitioning is
+# already satisfied). ONE scan, ONE data exchange; the naive
+# median-then-join form plans the median subtree twice and scans the
+# fact table three times. 100 TB note: exact medians need a full sort
+# per group — swap in approx_percentile (t-digest) when ~1% error is
+# acceptable; the MAD shape is unchanged.
+# --------------------------------------------------------------------
+@query(
+    "q_agg_mad",
+    oracle="""
+    WITH r1 AS (
+      SELECT l_returnflag, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    withmed AS (
+      SELECT l_returnflag, l_quantity, n,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END)
+               OVER (PARTITION BY l_returnflag) AS med_qty
+      FROM r1
+    ),
+    r2 AS (
+      SELECT l_returnflag, n, med_qty,
+             abs(l_quantity - med_qty) AS dev,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY abs(l_quantity - med_qty)) AS rn2
+      FROM withmed
+    )
+    SELECT l_returnflag, n, med_qty, dev AS mad_qty
+    FROM r2 WHERE rn2 = (n + 1) // 2
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wg = Window.partitionBy("l_returnflag")
+    pos = F.floor((F.col("n") + 1) / 2)
+    r1 = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    withmed = r1.select(
+        "l_returnflag",
+        "l_quantity",
+        "n",
+        F.max(F.when(F.col("rn") == pos, F.col("l_quantity"))).over(wg).alias("med_qty"),
+    )
+    dev = F.abs(F.col("l_quantity") - F.col("med_qty"))
+    wd = Window.partitionBy("l_returnflag").orderBy(dev)
+    r2 = withmed.select(
+        "l_returnflag",
+        "n",
+        "med_qty",
+        dev.alias("dev"),
+        F.row_number().over(wd).alias("rn2"),
+    )
+    return (
+        r2.filter(F.col("rn2") == pos)
+        .select("l_returnflag", "n", "med_qty", F.col("dev").alias("mad_qty"))
+        .orderBy("l_returnflag")
+    )

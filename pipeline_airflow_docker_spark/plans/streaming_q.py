@@ -275,6 +275,162 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join: click -> purchase
+# attribution where unconverted clicks ALSO emit (null-padded) — the
+# funnel-analysis shape q_stream_stream_join's inner variant drops.
+# Outer emission is watermark-driven: a left row may only be declared
+# unmatched once the global watermark proves no qualifying purchase
+# can still arrive, so on a bounded replay the final rows need the
+# watermark pushed past end-of-data. stage_files appends two sentinel
+# micro-batches at +25h/+50h (watermark 2h, join upper bound 30 min):
+# the first jumps the watermark computation, the second's batch
+# performs eviction under the advanced watermark — the same flush a
+# production topic gets from its continuing traffic. Sentinel rows
+# carry negative user_ids (matching nothing and each other not) and
+# are filtered from the result; they exist to move event time only.
+# The sentinel filter runs on the BATCH result, not in the stream:
+# in-stream, Catalyst pushes it below the EventTimeWatermark node
+# into the left scan, the sentinel clicks then never advance the
+# left-side watermark, and the global watermark (min of both sides)
+# stays 2.5h behind — silently withholding the tail's outer rows.
+# Oracle: the identical LEFT JOIN at rest over the real events.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'click'
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.streaming.joins import (  # noqa: PLC0415
+        interval_join,
+    )
+    from pipeline_airflow_docker_spark.streaming.sources import (  # noqa: PLC0415
+        stage_files,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def sentinels(hours: int, base_id: int) -> DataFrame:
+        ts = max_ts + timedelta(hours=hours)
+        rows = [
+            (base_id, ts, -1, "click", 0.0, None),
+            (base_id - 1, ts, -2, "purchase", 0.0, None),
+        ]
+        return spark.createDataFrame(rows, ev.schema)
+
+    path = stage_files(
+        spark,
+        [ev, sentinels(25, -1), sentinels(50, -3)],
+        cache_key=("events_flush", sf_dir),
+    )
+    schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    clicks = s.where(F.col("event_type") == "click")
+    purchases = s.where(F.col("event_type") == "purchase")
+    joined = interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        upper="30 minutes",
+        watermark="2 hours",
+        how="leftOuter",
+    )
+    emitted = run_to_df(
+        joined.select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.ts").alias("purchase_ts"),
+        ),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return emitted.filter(F.col("user_id") >= 0)
+
+
+# --------------------------------------------------------------------
+# Watermark late-data drop, graded end-to-end: an upstream replays
+# copies of the first six hours of events (fresh event_ids) AFTER the
+# watermark has passed and their hourly windows have been evicted, so
+# the windowed aggregation must DROP them — counting them would
+# double-bill history, re-emitting them would duplicate closed windows
+# (the at-least-once poison the reference's consumer ingests silently,
+# SURVEY.md §0 bug 3). Batch choreography matters and is pinned by the
+# stage_files order: Spark evicts-and-emits closed windows at the end
+# of the FIRST batch that runs under the advanced watermark, and a
+# late row is only dropped once its window's state is gone — so the
+# replayed rows are staged one batch AFTER an on-time batch (the
+# held-out max-ts event) that triggers that eviction; staged directly
+# behind the bulk load they would merge into the still-open windows
+# (verified: numRowsDroppedByWatermark=0 in that ordering). Two
+# sentinel batches then flush the tail windows, excluded on the BATCH
+# result (in-stream the filter would push below the watermark node —
+# see q_stream_join_outer). Oracle: hourly counts over the ORIGINAL
+# events only.
+# --------------------------------------------------------------------
+@query(
+    "q_stream_late_drop",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_DSUM_VALUE}
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.streaming.sources import (  # noqa: PLC0415
+        stage_files,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    bulk = ev.filter(F.col("ts") < F.lit(hi))
+    held_out = ev.filter(F.col("ts") == F.lit(hi))
+    late = ev.filter(F.col("ts") < F.lit(lo + timedelta(hours=6))).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"), *cols[1:]
+    )
+
+    def sentinel(hours: int, eid: int) -> DataFrame:
+        row = [(eid, hi + timedelta(hours=hours), -1, "click", 0.0, None)]
+        return spark.createDataFrame(row, ev.schema)
+
+    path = stage_files(
+        spark,
+        [bulk, held_out, late, sentinel(25, -1), sentinel(50, -2)],
+        cache_key=("events_late", sf_dir),
+    )
+    schema = spark.read.parquet(path).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    emitted = run_to_df(
+        tumbling_counts(s, "1 hour", delay="10 minutes"),
+        output_mode="append",
+        state_partitions=8,
+    )
+    return emitted.filter(F.col("window_start") <= F.lit(hi))
+
+
 __all__ = ["latest_by_key"]
 
 

@@ -61,3 +61,43 @@ def stream_table(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path)
+
+
+_STAGED_SEQ: dict[tuple, str] = {}
+
+
+def stage_files(
+    spark: SparkSession,
+    dfs: list[DataFrame],
+    cache_key: tuple | None = None,
+) -> str:
+    """Stage each DataFrame as one parquet file in a shared directory,
+    modification-time ordered, so a ``maxFilesPerTrigger=1`` file-source
+    run replays them as exactly ``len(dfs)`` micro-batches in list
+    order (the file source lists oldest-mtime-first; mtimes are pinned
+    explicitly rather than trusting filesystem timestamp resolution).
+
+    This is how a bounded replay flushes append-mode stateful results:
+    tail the real data with sentinel batches whose far-future event
+    times advance the watermark — batch k's max event time becomes the
+    watermark at batch k+1, which then evicts-and-emits every expired
+    outer-join row / closed window. Two sentinels, because eviction
+    happens one batch AFTER the watermark jump.
+    """
+    if cache_key is not None and cache_key in _STAGED_SEQ:
+        if os.path.isdir(_STAGED_SEQ[cache_key]):
+            return _STAGED_SEQ[cache_key]
+    out = os.path.join(tempfile.mkdtemp(prefix="padspark_stream_seq_"), "data")
+    base = 1_600_000_000
+    seen: set[str] = set()
+    for i, df in enumerate(dfs):
+        df.coalesce(1).write.mode("append").parquet(out)
+        for fname in os.listdir(out):
+            p = os.path.join(out, fname)
+            if fname.startswith(("_", ".")) or p in seen:
+                continue
+            os.utime(p, (base + i, base + i))
+            seen.add(p)
+    if cache_key is not None:
+        _STAGED_SEQ[cache_key] = out
+    return out

@@ -274,6 +274,9 @@ def test_blocked_joins_never_nested_loop(spark, sf_dir, name):
         "q_split_hash",
         "q_mix_corpora",
         "q_split_grouped",
+        # char-class profile and type-token ratio are pure projections
+        "q_charclass",
+        "q_lexical_diversity",
     ],
 )
 def test_mapside_ops_have_zero_exchange(spark, sf_dir, name):
@@ -328,3 +331,59 @@ def test_orc_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
     assert scan and "s_nationkey" in scan[0], plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "s_acctbal" not in read_schema[0], plan
+
+
+def test_spearman_single_data_exchange(spark, sf_dir):
+    """B40: all four window passes (two ranks + two tie-counts) share
+    ONE hashpartitioning(l_returnflag) exchange — the tie-count
+    windows partition by (flag, value), which the flag partitioning
+    already satisfies, so EnsureRequirements inserts re-sorts, not
+    re-shuffles. The second Exchange is the 3-row final orderBy."""
+    plan = explain(spark, sf_dir, "q_corr_spearman")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert tree.count("Exchange") == 2, plan
+
+
+def test_mad_single_scan_single_data_exchange(spark, sf_dir):
+    """B41: median + MAD from ONE scan and ONE data shuffle — the
+    all-window form (rank -> per-group median via max(CASE) -> re-rank
+    by deviation) must not regress to the median-then-join shape,
+    which plans the median subtree twice (3 scans, 6 exchanges)."""
+    plan = explain(spark, sf_dir, "q_agg_mad")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert tree.count("Exchange") == 2, plan
+
+
+def test_mix_temperature_fact_side_never_shuffles(spark, sf_dir):
+    """C25: the corpus reaches the keep-filter through a broadcast
+    join only; exchanges are confined to the tiny counts side (grouped
+    count -> single-partition min window -> broadcast). Exactly two
+    scans: fact + counts — a third means the counts subtree got
+    planned twice."""
+    plan = explain(spark, sf_dir, "q_mix_temperature")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 2, plan
+    assert "BroadcastHashJoin" in tree, plan
+    assert tree.count("Exchange") <= 3, plan
+
+
+def test_intervals_merge_single_exchange(spark, sf_dir):
+    """B42: the gaps-and-islands windows AND the (user, island)
+    aggregate all cluster on user_id — one exchange end-to-end; a
+    second one means the group-by stopped reusing the window
+    partitioning."""
+    plan = explain(spark, sf_dir, "q_intervals_merge")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert tree.count("Exchange") == 1, plan
+
+
+def test_quantile_bucket_single_exchange(spark, sf_dir):
+    """B45: the ntile window and the (type, tier) aggregate both
+    cluster on event_type — one exchange end-to-end."""
+    plan = explain(spark, sf_dir, "q_quantile_bucket")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, plan
+    assert tree.count("Exchange") == 1, plan

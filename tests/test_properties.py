@@ -392,3 +392,47 @@ def test_shuffled_order_total_permutation_any_keys(spark, keys, n_shards):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for ps in by_shard.values():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+@SLOW
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=2, max_size=5),
+)
+def test_temperature_downsample_laws(spark, sizes):
+    """C25 invariants on arbitrary group sizes: (a) the smallest group
+    is kept whole (rate 1.0 anchors the mix); (b) kept ⊆ input; (c)
+    each group's per-mille bound equals floor(sqrt(n_min/n)*1000)
+    computed independently in Python — IEEE sqrt/divide/floor are
+    correctly rounded, so the engine and the reimplementation must
+    agree bit-for-bit; (d) repeated runs are identical
+    (content-addressed membership)."""
+    import math
+
+    from pipeline_airflow_docker_spark.operators.splits import (
+        temperature_downsample,
+    )
+
+    rows = [
+        (f"g{gi}", gi * 1000 + i)
+        for gi, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    out = temperature_downsample(
+        df, group_col="grp", key_col="k", alpha=0.5, rate_col="rate"
+    )
+    got = out.collect()
+    assert {(r.grp, r.k) for r in got} <= set(rows)
+    n_min = min(sizes)
+    smallest = {f"g{gi}" for gi, n in enumerate(sizes) if n == n_min}
+    kept_by_grp: dict[str, int] = {}
+    for r in got:
+        kept_by_grp[r.grp] = kept_by_grp.get(r.grp, 0) + 1
+        expected_rate = math.sqrt(n_min / sizes[int(r.grp[1:])])
+        assert r.rate == expected_rate
+    for g in smallest:
+        assert kept_by_grp.get(g, 0) == n_min
+    again = temperature_downsample(
+        df, group_col="grp", key_col="k", alpha=0.5, rate_col="rate"
+    ).collect()
+    assert {(r.grp, r.k) for r in again} == {(r.grp, r.k) for r in got}

@@ -280,3 +280,91 @@ def test_running_totals_transform_with_state(spark, sf_dir):
         latest[r.user_id] = (r.n_so_far, float(r.max_so_far))
     for k, v in latest.items():
         assert v == batch[k]
+
+
+def test_stage_files_orders_batches_by_list_position(spark):
+    """stage_files pins strictly increasing mtimes so a
+    maxFilesPerTrigger=1 replay consumes the list in order — the
+    mechanism q_stream_join_outer's watermark-flush sentinels rely on."""
+    from pipeline_airflow_docker_spark.streaming.sources import stage_files
+
+    dfs = [spark.createDataFrame([(i,)], "batch long") for i in range(3)]
+    path = stage_files(spark, dfs)
+    data_files = sorted(
+        (
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(("_", "."))
+        ),
+        key=os.path.getmtime,
+    )
+    assert len(data_files) == 3
+    order = [spark.read.parquet(f).collect()[0].batch for f in data_files]
+    assert order == [0, 1, 2]
+    # cache_key returns the same staging on a second call
+    p2 = stage_files(spark, dfs, cache_key=("t", "x"))
+    assert stage_files(spark, dfs, cache_key=("t", "x")) == p2
+
+
+def test_late_rows_dropped_only_after_window_eviction(spark):
+    """Pins the watermark choreography q_stream_late_drop relies on:
+    Spark evicts closed windows at the end of the first batch that
+    runs under the advanced watermark, and a late row is dropped ONLY
+    once its window's state is gone — one batch earlier it would merge
+    into the still-open window. The staged order (bulk, on-time,
+    late) must therefore yield exactly one watermark-dropped row and
+    an unpolluted early window."""
+    import tempfile
+    from datetime import datetime
+
+    from pipeline_airflow_docker_spark.streaming.sources import stage_files
+
+    b1 = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 5)), (2, datetime(2024, 1, 2, 0, 0))],
+        "id long, ts timestamp",
+    )
+    b2 = spark.createDataFrame(
+        [(9, datetime(2024, 1, 2, 0, 5))], "id long, ts timestamp"
+    )  # on-time: first batch under the advanced watermark -> eviction
+    b3 = spark.createDataFrame(
+        [(3, datetime(2024, 1, 1, 0, 10))], "id long, ts timestamp"
+    )  # late: arrives after eviction -> must be dropped
+    path = stage_files(spark, [b1, b2, b3])
+    s = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    ckpt = tempfile.mkdtemp(prefix="padspark_late_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("memory")
+            .queryName("late_drop_probe")
+            .start()
+        )
+        q.awaitTermination(120)
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert dropped == 1
+    early = {
+        r.n
+        for r in spark.table("late_drop_probe").collect()
+        if r.ws == datetime(2024, 1, 1, 0, 0)
+    }
+    assert early == {1}  # late copy did NOT inflate the closed window
