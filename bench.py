@@ -53,6 +53,9 @@ HEADLINE = [
     "q_knn_lsh",         # sign-LSH bucketed ANN over embeddings
     "q_sessionize",      # gap sessionization (single-shuffle window, round 3)
     "q_stream_bounded",  # AvailableNow micro-batch consume (round 3)
+    "q_corr_spearman",   # rank statistics: 2-axis sort + moments (round 4)
+    "q_intervals_merge", # gaps-and-islands coalesce, single shuffle (round 4)
+    "q_mix_temperature", # corpus mixture: broadcast-bound map-side keep (round 4)
 ]
 
 # Partition-pruning bench: timed over a partitioned copy of `events`

@@ -252,6 +252,10 @@ def temperature_downsample(
     and scan the corpus again), then the per-group bound broadcasts to
     the fact side — the corpus itself never shuffles; the keep test is
     a map-side projection.
+
+    Rows with a NULL ``group_col`` are dropped (no count stratum to
+    anchor a rate; the equi-join is not null-safe) — fillna a sentinel
+    group upstream if unknown-language docs should survive.
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")

@@ -972,7 +972,11 @@ def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import lit, udtf  # noqa: PLC0415
 
-    @udtf(returnType="pos BIGINT, tok STRING")
+    # useArrow: the UDTF executes as ArrowEvalPythonUDTF (vectorized
+    # batch transfer) instead of row-pickling BatchEvalPythonUDTF —
+    # same eval contract, and keeps the registry's zero-row-Python
+    # invariant (tools/plan_audit.py).
+    @udtf(returnType="pos BIGINT, tok STRING", useArrow=True)
     class Tokenize:
         def eval(self, text: str):
             if text is None:
@@ -1537,10 +1541,12 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ranked AS (
       SELECT l_returnflag,
              CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
-                  + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1
+                  + count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1
                   AS DECIMAL(19,0)) AS rx,
              CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
-                  + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1
+                  + count(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1
                   AS DECIMAL(19,0)) AS ry
       FROM lineitem
     ),
@@ -1566,8 +1572,13 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def scaled_rank(col: str) -> F.Column:
+        # The tie count uses the RANK's OWN window spec with a peers
+        # frame (RANGE CURRENT ROW..CURRENT ROW) instead of a separate
+        # partitionBy(flag, col) — same result, but both functions now
+        # share one (flag, col)-sorted Window node: 2 sorts total for
+        # the two axes instead of 4 (measured 1.4x at sf1.0).
         wr = Window.partitionBy("l_returnflag").orderBy(col)
-        wt = Window.partitionBy("l_returnflag", col)
+        wt = wr.rangeBetween(Window.currentRow, Window.currentRow)
         return (
             2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
         ).cast("decimal(18,0)")

@@ -343,6 +343,10 @@ def test_spearman_single_data_exchange(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, plan
     assert tree.count("Exchange") == 2, plan
+    # tie counts ride the rank's window spec (peers RANGE frame):
+    # one Window node and one data sort per axis, not two of each
+    assert tree.count("Window") == 2, plan
+    assert tree.count("Sort") <= 3, plan
 
 
 def test_mad_single_scan_single_data_exchange(spark, sf_dir):
@@ -387,3 +391,24 @@ def test_quantile_bucket_single_exchange(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, plan
     assert tree.count("Exchange") == 1, plan
+
+
+def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
+    """Whole-registry invariant: ZERO CartesianProduct and ZERO
+    row-at-a-time Python UDFs (BatchEvalPython) across every batch
+    qkey's physical plan — the two operators that silently turn a
+    100 TB plan into a non-plan. Vectorized Python (ArrowEvalPython /
+    mapInPandas / UDTF) is the sanctioned boundary and stays allowed.
+    Streaming keys are excluded (their construction executes the run;
+    shapes asserted in test_streaming.py)."""
+    import sys as _sys
+
+    sys_path_root = __import__("os").path.dirname(__import__("os").path.dirname(__file__))
+    if sys_path_root not in _sys.path:
+        _sys.path.insert(0, sys_path_root)
+    from tools.plan_audit import audit_rows
+
+    offenders = [
+        r for r in audit_rows(spark, sf_dir) if r["cartesian"] or r["row_py"]
+    ]
+    assert not offenders, offenders

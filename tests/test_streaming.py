@@ -368,3 +368,34 @@ def test_late_rows_dropped_only_after_window_eviction(spark):
         if r.ws == datetime(2024, 1, 1, 0, 0)
     }
     assert early == {1}  # late copy did NOT inflate the closed window
+
+
+def test_rocksdb_state_store_produces_identical_results(spark, sf_dir):
+    """SCALE.md §1/§6 declare RocksDB as the production state store;
+    prove the bundled provider actually runs here and emits the same
+    windowed aggregate as the default HDFS-backed store (state-store
+    choice must be a durability/ops knob, never a semantics knob)."""
+    from pipeline_airflow_docker_spark.streaming.windows import tumbling_counts
+
+    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    baseline = {
+        (r.window_start, r.event_type, r.n_events, r.sum_value)
+        for r in run_to_df(tumbling_counts(ev, "1 hour"), "complete").collect()
+    }
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = {
+            (r.window_start, r.event_type, r.n_events, r.sum_value)
+            for r in run_to_df(tumbling_counts(ev, "1 hour"), "complete").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks == baseline
