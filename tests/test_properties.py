@@ -436,3 +436,75 @@ def test_temperature_downsample_laws(spark, sizes):
         df, group_col="grp", key_col="k", alpha=0.5, rate_col="rate"
     ).collect()
     assert {(r.grp, r.k) for r in again} == {(r.grp, r.k) for r in got}
+
+
+@SLOW
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=100),    # start
+            st.integers(min_value=0, max_value=30),     # length
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_coalesce_intervals_island_laws(spark, iv):
+    """B42 invariants on arbitrary integer intervals: (a) island ids
+    are 1..K contiguous per key; (b) ids are non-decreasing in
+    (start, end) order; (c) consecutive islands are separated by a
+    strict gap (next island's min start > previous island's max end);
+    (d) within an island every interval overlaps-or-touches the
+    running coverage (start <= max end of earlier members)."""
+    from collections import defaultdict
+
+    from pipeline_airflow_docker_spark.operators.intervals import (
+        coalesce_intervals,
+    )
+
+    rows = [(k, s, s + ln) for k, s, ln in iv]
+    df = spark.createDataFrame(rows, "k long, s long, e long")
+    got = coalesce_intervals(df, "k", "s", "e").collect()
+    by_key = defaultdict(list)
+    for r in got:
+        by_key[r.k].append((r.s, r.e, r.island))
+    for k, items in by_key.items():
+        items.sort()
+        ids = [i for _, _, i in items]
+        assert ids == sorted(ids), (k, items)
+        assert set(ids) == set(range(1, max(ids) + 1)), (k, items)
+        cover_end = None
+        prev_island = None
+        for s, e, island in items:
+            if island != prev_island:
+                if cover_end is not None:
+                    assert s > cover_end, (k, items)  # strict gap
+                cover_end = e
+                prev_island = island
+            else:
+                assert s <= cover_end, (k, items)  # connected
+                cover_end = max(cover_end, e)
+
+
+def test_temperature_downsample_general_alpha(spark):
+    """The non-0.5 alpha path (libm pow — engine-deterministic, not
+    oracle-exact): rates stay monotone in group size, the smallest
+    group still anchors at 1.0, and alpha=1 keeps everything (natural
+    proportions)."""
+    from pipeline_airflow_docker_spark.operators.splits import (
+        temperature_downsample,
+    )
+
+    rows = [(f"g{gi}", gi * 1000 + i) for gi, n in enumerate([5, 40, 200]) for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, k long")
+    out = temperature_downsample(
+        df, group_col="grp", key_col="k", alpha=0.3, rate_col="rate"
+    ).collect()
+    rates = {r.grp: r.rate for r in out}
+    assert rates["g0"] == 1.0
+    assert rates["g0"] > rates["g1"] > rates["g2"]
+    kept0 = sum(1 for r in out if r.grp == "g0")
+    assert kept0 == 5
+    full = temperature_downsample(df, group_col="grp", key_col="k", alpha=1.0)
+    assert full.count() == len(rows)
