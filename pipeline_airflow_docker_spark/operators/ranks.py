@@ -1,0 +1,81 @@
+"""Scalable exact ranking for low-cardinality groups.
+
+``rank() OVER (PARTITION BY group ORDER BY value)`` has parallelism
+equal to the number of GROUPS: with 3 return-flags, a 60 M-row rank
+runs its sorts on 3 tasks no matter how many executors exist (measured
+97 s at sf10 — the registry's slowest plan before this module). The
+classic distributed fix decomposes the global per-group rank into
+
+    rank(g, x) = (# rows of g in strictly earlier bins) +
+                 rank of x within its own (g, bin)
+
+with ``bin = floor(x / bin_width)``: value-contiguous bins mean
+in-bin ranks + a per-bin offset reproduce the global rank EXACTLY
+(ties never cross bins — equal values share a bin by construction).
+The expensive sort now partitions by (group, bin) — parallelism is
+groups × bins and scales with the chosen width, while the offset table
+is a tiny (group, bin) count aggregate that broadcast-joins back.
+
+Deterministic everywhere: floor on IEEE doubles, integer counts, and
+the same rank values any single-node engine computes — so oracles can
+grade with a plain ``rank()`` window and results hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def binned_scaled_rank(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float,
+    out_col: str = "r",
+) -> DataFrame:
+    """Append ``out_col`` = ``2*rank + ties - 1`` (DECIMAL(18,0)) — the
+    integer-scaled AVERAGE rank of ``value_col`` within ``group_col``
+    (2x the classic ``rank + (ties-1)/2``; correlation and other
+    affine-invariant consumers are unaffected by the doubling, which
+    keeps every intermediate an exact integer).
+
+    One (group, bin) data shuffle for the in-bin rank windows (the tie
+    count rides the same window spec via a peers RANGE frame), plus a
+    count aggregate whose per-(group, bin) totals — thousands of rows,
+    never the fact table — take a prefix-sum window on the GROUP only
+    and broadcast back as offsets. ``bin_width`` trades parallelism
+    (groups x bins tasks) against offset-table size; any positive
+    width is correct.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    bin_col = F.floor(F.col(value_col) / F.lit(float(bin_width)))
+
+    binned = df.withColumn("__bin", bin_col)
+    counts = binned.groupBy(group_col, "__bin").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        group_col,
+        "__bin",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    w_bin = Window.partitionBy(group_col, "__bin").orderBy(value_col)
+    w_ties = w_bin.rangeBetween(Window.currentRow, Window.currentRow)
+    local = 2 * (F.col("__offset") + F.rank().over(w_bin)) + F.count(
+        F.lit(1)
+    ).over(w_ties) - F.lit(1)
+    return (
+        binned.join(F.broadcast(offsets), [group_col, "__bin"])
+        .withColumn(out_col, local.cast("decimal(18,0)"))
+        .drop("__bin", "__offset")
+    )
+
+
+__all__ = ["binned_scaled_rank"]

@@ -508,3 +508,45 @@ def test_temperature_downsample_general_alpha(spark):
     assert kept0 == 5
     full = temperature_downsample(df, group_col="grp", key_col="k", alpha=1.0)
     assert full.count() == len(rows)
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),                 # group
+            st.floats(min_value=-50, max_value=50,
+                      allow_nan=False, allow_infinity=False),      # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    width=st.sampled_from([0.5, 3.0, 1000.0]),
+)
+def test_binned_scaled_rank_equals_plain_window_rank(spark, vals, width):
+    """The bin-parallel construction must reproduce the flag-only
+    window rank EXACTLY on arbitrary data — ties (incl. across what
+    would be bin boundaries if values differed), negatives, and a
+    width so large everything lands in one bin are all equivalent."""
+    from pyspark.sql import Window
+
+    from pipeline_airflow_docker_spark.operators.ranks import binned_scaled_rank
+
+    rows = [(g, v, i) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, v double, id long")
+    got = {
+        (r.id, int(r.r))
+        for r in binned_scaled_rank(df, "g", "v", bin_width=width).collect()
+    }
+    wr = Window.partitionBy("g").orderBy("v")
+    wt = wr.rangeBetween(Window.currentRow, Window.currentRow)
+    exp = {
+        (r.id, int(r.r))
+        for r in df.select(
+            "id",
+            (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1))
+            .cast("decimal(18,0)")
+            .alias("r"),
+        ).collect()
+    }
+    assert got == exp
