@@ -79,3 +79,63 @@ def binned_scaled_rank(
 
 
 __all__ = ["binned_scaled_rank"]
+
+
+def binned_kth_value(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float,
+    out_col: str = "kth_value",
+    n_col: str = "n",
+    k_of_n=None,
+) -> DataFrame:
+    """Per-group k-th order statistic WITHOUT a full sort: one
+    (group, bin) count aggregate (map-side partial — only bin totals
+    cross the network) locates the single bin that contains position
+    k, then a row_number window ranks ONLY that bin's rows
+    (~n/n_bins of the data). The flag-only window form sorts the whole
+    group on one task; this form never sorts more than one bin.
+
+    ``k_of_n`` maps the group's row count (a Column) to the wanted
+    position, default the LOWER MEDIAN ``(n+1) div 2`` — the
+    engine-exact order statistic the MAD/median qkeys pin (see
+    plans/relational.py::q_agg_mad on why interpolated medians don't
+    cross engines). Returns one row per group:
+    ``(group_col, n_col, out_col)``. Deterministic: the value at a
+    rank position is unique even under ties.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    if k_of_n is None:
+        k_of_n = lambda n: F.floor((n + F.lit(1)) / 2)  # noqa: E731
+    binned = df.withColumn("__bin", F.floor(F.col(value_col) / F.lit(float(bin_width))))
+    counts = binned.groupBy(group_col, "__bin").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(group_col)
+    marked = counts.select(
+        group_col,
+        "__bin",
+        (F.sum("__bn").over(w_cum) - F.col("__bn")).alias("__before"),
+        F.sum("__bn").over(w_cum).alias("__incl"),
+        F.sum("__bn").over(w_all).alias(n_col),
+    )
+    k = k_of_n(F.col(n_col))
+    target = marked.filter(
+        (F.col("__before") < k) & (k <= F.col("__incl"))
+    ).select(group_col, "__bin", "__before", n_col)
+    w_bin = Window.partitionBy(group_col, "__bin").orderBy(value_col)
+    picked = (
+        binned.join(F.broadcast(target), [group_col, "__bin"])
+        .withColumn("__rn", F.row_number().over(w_bin))
+        .filter(F.col("__rn") == k_of_n(F.col(n_col)) - F.col("__before"))
+    )
+    return picked.select(
+        group_col, n_col, F.col(value_col).alias(out_col)
+    )

@@ -1614,16 +1614,14 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 # different expression shapes ((a+b)/2 vs a+(b-a)*f — up to 1 ulp
 # apart), so the qkey pins the LOWER MEDIAN: the order statistic at
 # position (n+1) div 2 by value order — integer-exact, identical in
-# any engine, and the honest choice at scale (exact interpolation
-# needs the same two-row read anyway). Everything is windows over ONE
-# l_returnflag partitioning: rank -> per-group median via
-# max(CASE rn = pos) -> |x-med| -> re-rank by deviation (a re-SORT,
-# not a re-shuffle — EnsureRequirements sees the partitioning is
-# already satisfied). ONE scan, ONE data exchange; the naive
-# median-then-join form plans the median subtree twice and scans the
-# fact table three times. 100 TB note: exact medians need a full sort
-# per group — swap in approx_percentile (t-digest) when ~1% error is
-# acceptable; the MAD shape is unchanged.
+# any engine. Selection, not sorting: each median comes from
+# operators/ranks.py::binned_kth_value — a (group, bin) count
+# aggregate (map-side partial) locates the one bin containing
+# position k, and only that bin's rows are ranked, so no task ever
+# sorts more than ~n/n_bins rows regardless of group count. The
+# approximate alternative at 100 TB remains approx_percentile
+# (t-digest) when ~1% error is acceptable; the MAD shape is unchanged
+# either way.
 # --------------------------------------------------------------------
 @query(
     "q_agg_mad",
@@ -1653,33 +1651,39 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.ranks import (  # noqa: PLC0415
+        binned_kth_value,
+    )
+
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-    wg = Window.partitionBy("l_returnflag")
-    pos = F.floor((F.col("n") + 1) / 2)
-    r1 = li.select(
-        "l_returnflag",
-        "l_quantity",
-        F.row_number().over(wq).alias("rn"),
-        F.count(F.lit(1)).over(wg).alias("n"),
+    # Both medians come from operators/ranks.py::binned_kth_value — a
+    # counts pass locates the bin holding position (n+1) div 2, then
+    # only THAT bin's rows get ranked. A flag-partitioned window form
+    # sorts the whole table on #groups tasks (46 s at sf10 vs 16 s
+    # binned, and 1.8 s -> 1.5 s even at sf0.1); this form
+    # never sorts more than one bin per group.
+    from pipeline_airflow_docker_spark.functions.materialize import (  # noqa: PLC0415
+        materialize,
     )
-    withmed = r1.select(
-        "l_returnflag",
-        "l_quantity",
-        "n",
-        F.max(F.when(F.col("rn") == pos, F.col("l_quantity"))).over(wg).alias("med_qty"),
+
+    # med is 3 rows consumed by three downstream subtrees (dev, the
+    # final join, and mad's lineage through dev); materializing it
+    # stops Catalyst re-planning its count+select subtree into each
+    # consumer (8 lineitem scans -> 4).
+    med = materialize(
+        binned_kth_value(
+            li, "l_returnflag", "l_quantity", bin_width=2.0, out_col="med_qty"
+        )
     )
-    dev = F.abs(F.col("l_quantity") - F.col("med_qty"))
-    wd = Window.partitionBy("l_returnflag").orderBy(dev)
-    r2 = withmed.select(
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
-        "n",
-        "med_qty",
-        dev.alias("dev"),
-        F.row_number().over(wd).alias("rn2"),
+        F.abs(F.col("l_quantity") - F.col("med_qty")).alias("dev"),
     )
+    mad = binned_kth_value(
+        dev, "l_returnflag", "dev", bin_width=1.0, out_col="mad_qty"
+    ).select("l_returnflag", "mad_qty")
     return (
-        r2.filter(F.col("rn2") == pos)
-        .select("l_returnflag", "n", "med_qty", F.col("dev").alias("mad_qty"))
+        med.join(mad, "l_returnflag")
+        .select("l_returnflag", "n", "med_qty", "mad_qty")
         .orderBy("l_returnflag")
     )

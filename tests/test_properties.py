@@ -550,3 +550,37 @@ def test_binned_scaled_rank_equals_plain_window_rank(spark, vals, width):
         ).collect()
     }
     assert got == exp
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.floats(min_value=-50, max_value=50,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    width=st.sampled_from([0.5, 7.0, 1000.0]),
+)
+def test_binned_kth_value_is_lower_median(spark, vals, width):
+    """binned_kth_value must return exactly sorted(group)[(n+1)//2 - 1]
+    for every group, for any bin width — including a width so large
+    selection degenerates to one bin."""
+    from collections import defaultdict
+
+    from pipeline_airflow_docker_spark.operators.ranks import binned_kth_value
+
+    df = spark.createDataFrame(list(vals), "g long, v double")
+    got = {
+        (r.g): (r.n, r.kth_value)
+        for r in binned_kth_value(df, "g", "v", bin_width=width).collect()
+    }
+    groups = defaultdict(list)
+    for g, v in vals:
+        groups[g].append(v)
+    for g, vs in groups.items():
+        vs.sort()
+        assert got[g] == (len(vs), vs[(len(vs) + 1) // 2 - 1])
