@@ -78,9 +78,6 @@ def binned_scaled_rank(
     )
 
 
-__all__ = ["binned_scaled_rank"]
-
-
 def binned_kth_value(
     df: DataFrame,
     group_col: str,
@@ -139,3 +136,65 @@ def binned_kth_value(
     return picked.select(
         group_col, n_col, F.col(value_col).alias(out_col)
     )
+
+
+def binned_ntile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_tiles: int,
+    tiebreak_cols: list[str] | None = None,
+    bin_width: float = 1.0,
+    out_col: str = "tier",
+) -> DataFrame:
+    """Append ``out_col`` = the SQL ``ntile(n_tiles)`` bucket of each
+    row within its group, ordered by ``(value_col, *tiebreak_cols)`` —
+    computed with groups x bins parallelism instead of one task per
+    group. ntile is positional: with q = n div n_tiles and
+    r = n mod n_tiles, the first r buckets hold q+1 rows. The global
+    row_number decomposes exactly like the rank in
+    ``binned_scaled_rank`` (in-bin row_number + per-bin offset; value
+    ties never cross bins, and the tiebreak columns order rows within
+    a bin just as they would globally), and the bucket is then pure
+    arithmetic on (row_number, n). Requires a total order for
+    determinism — pass tiebreak columns unless value_col is unique.
+    """
+    if n_tiles <= 0:
+        raise ValueError(f"n_tiles must be positive, got {n_tiles}")
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    tiebreaks = tiebreak_cols or []
+    binned = df.withColumn(
+        "__bin", F.floor(F.col(value_col) / F.lit(float(bin_width)))
+    )
+    counts = binned.groupBy(group_col, "__bin").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(group_col)
+    offsets = counts.select(
+        group_col,
+        "__bin",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0)).alias("__offset"),
+        F.sum("__bn").over(w_all).alias("__gn"),
+    )
+    w_bin = Window.partitionBy(group_col, "__bin").orderBy(value_col, *tiebreaks)
+    rn = F.col("__offset") + F.row_number().over(w_bin)
+    n, t = F.col("__gn"), F.lit(n_tiles)
+    q, r = F.floor(n / t), n % t
+    big = r * (q + 1)
+    tier = F.when(rn <= big, F.ceil(rn / (q + 1))).otherwise(
+        r + F.ceil((rn - big) / q)
+    )
+    return (
+        binned.join(F.broadcast(offsets), [group_col, "__bin"])
+        .withColumn(out_col, tier.cast("int"))
+        .drop("__bin", "__offset", "__gn")
+    )
+
+
+__all__ = ["binned_kth_value", "binned_ntile", "binned_scaled_rank"]

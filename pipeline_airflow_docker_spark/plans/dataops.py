@@ -729,12 +729,25 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.functions import dsum  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.operators.ranks import (  # noqa: PLC0415
+        binned_ntile,
+    )
 
-    ev = table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ev = table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # operators/ranks.py::binned_ntile — a plain ntile window here
+    # would partition by event_type (5 groups = 5 tasks sorting all
+    # events; 9.8 s at sf10 vs 3.8 s binned). value spans ~[0, 100):
+    # width 4 -> ~25 bins/group.
+    tiered = binned_ntile(
+        ev,
+        "event_type",
+        "value",
+        n_tiles=4,
+        tiebreak_cols=["event_id"],
+        bin_width=4.0,
+    )
     return (
-        ev.select("event_type", "value", F.ntile(4).over(w).alias("tier"))
-        .groupBy("event_type", "tier")
+        tiered.groupBy("event_type", "tier")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("value").alias("lo"),

@@ -391,13 +391,20 @@ def test_intervals_merge_single_exchange(spark, sf_dir):
     assert tree.count("Exchange") == 1, plan
 
 
-def test_quantile_bucket_single_exchange(spark, sf_dir):
-    """B45: the ntile window and the (type, tier) aggregate both
-    cluster on event_type — one exchange end-to-end."""
+def test_quantile_bucket_is_bin_parallel(spark, sf_dir):
+    """B45: the positional tiers come from binned row_numbers — every
+    row_number windowspec must include the bin column (a flag-only
+    ntile window sorts all events on 5 tasks: 9.8 s vs 3.8 s at
+    sf10), and the fact table reaches its offsets by broadcast, never
+    a shuffle join."""
+    import re
+
     plan = explain(spark, sf_dir, "q_quantile_bucket")
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("__bin" in s for s in specs), plan
     tree = plan.split("\n\n")[0]
-    assert tree.count("Scan parquet") == 1, plan
-    assert tree.count("Exchange") == 1, plan
+    assert "SortMergeJoin" not in tree, plan
+    assert "ntile" not in plan, plan  # no group-partitioned ntile remains
 
 
 def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):

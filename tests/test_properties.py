@@ -584,3 +584,41 @@ def test_binned_kth_value_is_lower_median(spark, vals, width):
     for g, vs in groups.items():
         vs.sort()
         assert got[g] == (len(vs), vs[(len(vs) + 1) // 2 - 1])
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),
+            st.floats(min_value=-50, max_value=50,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_tiles=st.sampled_from([1, 3, 4, 7]),
+    width=st.sampled_from([0.5, 7.0, 1000.0]),
+)
+def test_binned_ntile_equals_window_ntile(spark, vals, n_tiles, width):
+    """binned_ntile must reproduce SQL ntile exactly — any group sizes
+    (including n < n_tiles), any tile count, any bin width — under the
+    same (value, id) total order."""
+    from pyspark.sql import Window
+
+    from pipeline_airflow_docker_spark.operators.ranks import binned_ntile
+
+    rows = [(g, v, i) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, v double, id long")
+    got = {
+        (r.id, r.tier)
+        for r in binned_ntile(
+            df, "g", "v", n_tiles=n_tiles, tiebreak_cols=["id"], bin_width=width
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    exp = {
+        (r.id, r.tier)
+        for r in df.select("id", F.ntile(n_tiles).over(w).alias("tier")).collect()
+    }
+    assert got == exp
