@@ -182,3 +182,150 @@ def zscore_outliers(
         .filter(F.abs(F.col("z")) > F.lit(k))
         .drop("__n", "__mean", "__sumsq")
     )
+
+
+def mode_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Per-group central-tendency summary (B46): the deterministic MODE
+    over floor-binned values plus the exact lower-median order
+    statistic. Built-in ``mode()`` is non-deterministic under ties
+    (both Spark's and DuckDB's docs leave the returned tie arbitrary),
+    which makes it ungradable and irreproducible across runs — here
+    ties break to the SMALLEST bin, pinned by the sort. The median is
+    ``binned_kth_value``'s lower median: an order statistic, not an
+    interpolated percentile (interpolated medians average two doubles
+    whose selection differs across engines — see q_agg_mad's note).
+
+    Scale shape: the mode needs one (group, bin) count aggregate
+    (map-side partials; only bin counts shuffle) + a window over that
+    tiny counts table; the median reuses the bin-parallel selection
+    from operators/ranks.py — no full-group sort anywhere. Returns one
+    row per group: (group, n, median_low, mode_bin, mode_count) where
+    mode_bin is the floor(value / bin_width) bin index (integer-exact
+    cross-engine; cast-to-int is not — see histogram_fixed).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.operators.ranks import (  # noqa: PLC0415
+        binned_kth_value,
+    )
+
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    vbin = F.floor(F.col(value_col) / F.lit(float(bin_width)))
+    counts = (
+        df.select(group_col, vbin.alias("__vbin"))
+        .groupBy(group_col, "__vbin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__c").desc(), F.col("__vbin").asc()
+    )
+    mode = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            group_col,
+            F.col("__vbin").alias("mode_bin"),
+            F.col("__c").alias("mode_count"),
+        )
+    )
+    med = binned_kth_value(
+        df.select(group_col, value_col),
+        group_col,
+        value_col,
+        bin_width,
+        out_col="median_low",
+    )
+    return med.join(mode, group_col).select(
+        group_col, "n", "median_low", "mode_bin", "mode_count"
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (B47): the max absolute
+    ECDF gap between two slices of a value column — the standard
+    distribution-drift test (did this week's ingest shift against last
+    week's? does split A's feature distribution match split B's?).
+
+    Exact and deterministic: counts per distinct value are integers,
+    the two ECDFs are integer-cumsum / total (one IEEE division each),
+    and the gap is rounded to 6 dp before the argmax (ties then break
+    to the smallest value), so any engine reproduces the same row.
+
+    Scale shape: the naive form cumsums over a single global ordering
+    — parallelism 1, the anti-pattern operators/ranks.py exists for.
+    Here the cumulative counts decompose over floor(value / bin_width)
+    bins exactly like binned ranks: per-(value) counts aggregate
+    map-side, per-bin offsets come from a window over the TINY bin
+    totals table, and the in-bin cumsums partition by bin. The argmax
+    is a distributed top-1 (TakeOrderedAndProject). Returns ONE row:
+    (n_a, n_b, ks_stat, at_value).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    g, v = F.col(group_col), F.col(value_col)
+    per_value = (
+        df.filter(g.isin(group_a, group_b) & v.isNotNull())
+        .groupBy(value_col)
+        .agg(
+            F.sum(F.when(g == group_a, 1).otherwise(0)).alias("__ca"),
+            F.sum(F.when(g == group_b, 1).otherwise(0)).alias("__cb"),
+        )
+        .withColumn("__bin", F.floor(v / F.lit(float(bin_width))))
+    )
+    bin_tot = per_value.groupBy("__bin").agg(
+        F.sum("__ca").alias("__ba"), F.sum("__cb").alias("__bb")
+    )
+    w_off = Window.orderBy("__bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bin-totals table only — never the fact rows
+    offsets = bin_tot.select(
+        "__bin",
+        F.coalesce(F.sum("__ba").over(w_off), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__bb").over(w_off), F.lit(0)).alias("__ob"),
+    )
+    totals = bin_tot.agg(
+        F.sum("__ba").alias("n_a"), F.sum("__bb").alias("n_b")
+    )
+    w_bin = (
+        Window.partitionBy("__bin")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_value.join(F.broadcast(offsets), "__bin").select(
+        value_col,
+        (F.col("__oa") + F.sum("__ca").over(w_bin)).alias("__cuma"),
+        (F.col("__ob") + F.sum("__cb").over(w_bin)).alias("__cumb"),
+    )
+    gap = F.round(
+        F.abs(
+            F.col("__cuma").cast("double") / F.col("n_a")
+            - F.col("__cumb").cast("double") / F.col("n_b")
+        ),
+        6,
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            gap.alias("ks_stat"),
+            F.col(value_col).alias("at_value"),
+        )
+        .orderBy(F.col("ks_stat").desc(), F.col("at_value").asc())
+        .limit(1)
+    )

@@ -274,3 +274,78 @@ def temperature_downsample(
     if rate_col is not None:
         return kept.withColumnRenamed("__rate", rate_col).drop("__bound")
     return kept.drop("__rate", "__bound")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cap: int,
+    key_col: str,
+    seed: int = 42,
+    rank_col: str = "cap_rank",
+) -> DataFrame:
+    """Absolute per-group document cap (C27) — the RefinedWeb-style
+    "at most N documents per domain" rule that stops a handful of huge
+    sources from dominating a training mix (the proportional
+    counterparts are ``stratified_downsample`` / the temperature mix;
+    a cap is the right tool when the policy is a hard ceiling, not a
+    rate). Which N survive is content-addressed: priority is the
+    seeded md5 of the key, so membership is a pure function of
+    (key, seed) — stable across runs, engines, and corpus growth —
+    and NOT "first N in file order", which would bias toward whatever
+    the ingest happened to write first.
+
+    One keyed shuffle: row_number over (group, md5-priority). Skewed
+    mega-groups sort only their own partition; cap >> group sizes is a
+    no-op that still costs the shuffle — filter trivial groups first
+    if that matters.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    prio = seeded_md5(F.col(key_col).cast("string"), seed)
+    w = Window.partitionBy(*group_cols).orderBy(prio, key_col)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= cap
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    seed: int = 42,
+    score_col: str = "sample_score",
+) -> DataFrame:
+    """Weighted sampling without replacement (C28), Efraimidis–Spirakis
+    A-ES: each row draws u ~ U(0,1) and is ranked by u^(1/w) — taking
+    the top k selects each row with probability proportional to its
+    weight, in ONE distributed pass (the classic use: length- or
+    quality-weighted corpus subsampling). Equivalently ranked by
+    ln(u)/w, which avoids the pow() and keeps magnitudes sane.
+
+    u is content-addressed — the first 8 md5 hex digits of the seeded
+    key over 2^32, the same primitive as ``hash_mod`` — so the sample
+    is a pure function of (key set, seed): reproducible across runs,
+    engines, partitionings, and cluster sizes, unlike ``sample()``
+    whose output depends on partition layout. The score is rounded to
+    9 dp (ties then break on the key) so rank order survives any
+    last-ulp ln() disagreement between engines.
+
+    Scale shape: map-side score projection + distributed top-k
+    (TakeOrderedAndProject — per-partition heaps, never a global
+    sort). Weights must be strictly positive; null/non-positive
+    weights are dropped.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        hash_mod(F.col(key_col), 2**32, seed).cast("double") + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    score = F.round(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn(score_col, score)
+        .orderBy(F.col(score_col).desc(), F.col(key_col))
+        .limit(k)
+    )

@@ -402,3 +402,179 @@ def gopher_rules(
         alpha_ratio.alias("alpha_word_ratio"),
         keep.alias("keep"),
     )
+
+
+def word_entropy(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Shannon entropy of the word distribution per group (C29) — the
+    information-theoretic corpus-quality signal: near-zero entropy
+    flags templated/boilerplate sources, and entropy tracked per
+    ingest slice catches silent distribution collapse (a scraper stuck
+    on one page family). Complements C26's type-token ratio (which
+    ignores the SHAPE of the frequency distribution) and C22's corpus
+    counts.
+
+    Deterministic cross-engine: H = ln(S) - sum(c*ln(c))/S over word
+    counts c with total S. The per-word terms c*ln(c) are rounded to
+    6 dp and summed in exact DECIMAL (order-independent — raw double
+    sums are partition-order-dependent and never bit-reproduce), then
+    one decimal->double cast, one division, one subtraction — all
+    correctly-rounded IEEE ops on identical operands.
+
+    Scale shape: explode -> two chained aggregates, both with map-side
+    partials; the (group, word) shuffle carries counts, not text.
+    Returns (group, n_tokens, n_types, entropy_nats).
+    """
+    toks = tokens(text_col)
+    words = df.select(
+        F.col(group_col), F.explode(toks).alias("__w")
+    ).filter(F.col("__w") != "")
+    counts = words.groupBy(group_col, "__w").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    term = F.round(F.col("__c") * F.log(F.col("__c")), 6).cast(
+        "decimal(28,6)"
+    )
+    agg = counts.groupBy(group_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(term).cast("double").alias("__sclc"),
+    )
+    s = F.col("n_tokens").cast("double")
+    return agg.select(
+        group_col,
+        "n_tokens",
+        "n_types",
+        F.round(F.log(s) - F.col("__sclc") / s, 6).alias("entropy_nats"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (C30):
+    PMI(w1,w2) = ln p(w1,w2) - ln p(w1) - ln p(w2) over adjacent word
+    pairs — the classic corpus-analysis surface for multi-word
+    expressions, and a dedup/contamination lens (an unnaturally strong
+    collocation often IS boilerplate). min_count guards the low-count
+    PMI explosion.
+
+    Bigrams are built map-side with a sequence/transform expression
+    (no window, no self-join). The PMI is computed in log space as
+    ln(b) + 2*ln(tu) - ln(tb) - ln(u1) - ln(u2) — five correctly-
+    rounded ln's of exact integers combined in a FIXED left-to-right
+    association (written identically in the oracle), so no count
+    product can overflow int64 at corpus scale and the double result
+    is bit-identical cross-engine; rounded to 6 dp, ties break on the
+    words. Unigram totals attach by two broadcast joins (the unigram
+    count table is vocabulary-sized, not corpus-sized); corpus totals
+    ride a 1-row broadcast cross join.
+
+    Returns top_k rows: (w1, w2, pair_count, pmi).
+    """
+    toks = tokens(text_col)
+    # sequence(0, n) DESCENDS when n < 0 (one-token doc => [0, -1]), so
+    # index over the full array — the final pair's w2 is the one-past-
+    # the-end null — and drop null-w2 pairs (split() never yields null
+    # tokens, so the only null w2 IS the sentinel).
+    pairs = df.select(
+        F.explode(
+            F.expr(
+                f"filter(transform(sequence(0, size(split({text_col}, ' ')) - 1),"
+                f" i -> struct(split({text_col}, ' ')[i] as w1,"
+                f" split({text_col}, ' ')[i+1] as w2)),"
+                " p -> p.w2 is not null)"
+            )
+        ).alias("__p")
+    ).select("__p.w1", "__p.w2")
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = (
+        df.select(F.explode(toks).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__u"))
+    )
+    tot = bi.agg(F.sum("pair_count").alias("__tb")).crossJoin(
+        uni.agg(F.sum("__u").alias("__tu"))
+    )
+    u1 = uni.select(F.col("__w").alias("w1"), F.col("__u").alias("__u1"))
+    u2 = uni.select(F.col("__w").alias("w2"), F.col("__u").alias("__u2"))
+    pmi = F.round(
+        F.log("pair_count")
+        + 2 * F.log("__tu")
+        - F.log("__tb")
+        - F.log("__u1")
+        - F.log("__u2"),
+        6,
+    )
+    return (
+        bi.filter(F.col("pair_count") >= min_count)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "pair_count", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf's-law fit per group (C31): the least-squares slope of
+    ln(frequency) against ln(rank) over the group's word-frequency
+    table. Natural corpora slope near -1; templated or synthetic text
+    deviates hard — a one-number distributional health check per
+    source/language that complements C29's entropy (entropy summarizes
+    the distribution, the slope its SHAPE).
+
+    Rank is deterministic (count desc, word asc). The regression
+    moments are B37's trick: per-word terms x=ln(rank), y=ln(count)
+    are rounded to 8 dp, products to 8 dp, each summed in exact
+    DECIMAL, so the slope is reproducible across engines and
+    partitionings; slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx) as fixed
+    double arithmetic, rounded to 6 dp.
+
+    Scale shape: the word-count aggregate shuffles counts map-side;
+    the rank window partitions by GROUP over the vocabulary-sized
+    counts table (vocabularies are ~10^6 rows even at 100 TB — this
+    window never sees the corpus; for pathological vocabularies swap
+    in operators/ranks.binned_scaled_rank on ln(count) bins). Returns
+    (group, n_types, zipf_slope).
+    """
+    toks = tokens(text_col)
+    counts = (
+        df.select(F.col(group_col), F.explode(toks).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy(group_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__c").desc(), F.col("__w").asc()
+    )
+    xy = counts.select(
+        F.col(group_col),
+        F.round(F.log(F.row_number().over(w)), 8).alias("__x"),
+        F.round(F.log(F.col("__c")), 8).alias("__y"),
+    )
+    d = lambda c: F.round(c, 8).cast("decimal(28,8)")  # noqa: E731
+    m = xy.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(d(F.col("__x"))).cast("double").alias("__sx"),
+        F.sum(d(F.col("__y"))).cast("double").alias("__sy"),
+        F.sum(d(F.col("__x") * F.col("__x"))).cast("double").alias("__sxx"),
+        F.sum(d(F.col("__x") * F.col("__y"))).cast("double").alias("__sxy"),
+    )
+    n = F.col("n_types").cast("double")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    return m.select(group_col, "n_types", F.round(slope, 6).alias("zipf_slope"))
