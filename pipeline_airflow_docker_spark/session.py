@@ -92,6 +92,16 @@ def get_spark(
         builder = builder.config(
             "spark.sql.files.openCostInBytes", str(128 * 1024)
         ).config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        # Shuffle/spill scratch on tmpfs when available: this box's
+        # /dev/vda is a shared virtio disk with multi-second latency
+        # bursts that land squarely on shuffle-file writes (observed as
+        # sporadic 10-20 s stalls of otherwise sub-second plans). On a
+        # real cluster spark.local.dir is provisioned node-local SSD —
+        # tmpfs is the closest local-mode analog. Test data stays small
+        # enough (≲2 GB at sf10) that 126 GB of shm never fills; a
+        # cluster deployment does NOT inherit this (guarded to local*).
+        if os.path.isdir("/dev/shm"):
+            builder = builder.config("spark.local.dir", "/dev/shm/spark_graft_local")
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
