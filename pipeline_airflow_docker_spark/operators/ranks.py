@@ -48,34 +48,156 @@ def binned_scaled_rank(
     (groups x bins tasks) against offset-table size; any positive
     width is correct.
     """
-    if bin_width <= 0:
-        raise ValueError(f"bin_width must be positive, got {bin_width}")
-    bin_col = F.floor(F.col(value_col) / F.lit(float(bin_width)))
+    return binned_scaled_ranks(df, group_col, [(value_col, bin_width, out_col)])
 
-    binned = df.withColumn("__bin", bin_col)
-    counts = binned.groupBy(group_col, "__bin").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    w_off = (
+
+def binned_scaled_ranks(
+    df: DataFrame,
+    group_col: str,
+    specs: list[tuple[str, float, str]],
+) -> DataFrame:
+    """Multi-axis :func:`binned_scaled_rank`: append one scaled-rank
+    column per ``(value_col, bin_width, out_col)`` spec in a single
+    composition.
+
+    Chaining single-axis calls duplicates work: axis N's count
+    aggregate would be planned over axis N-1's OUTPUT, so Catalyst
+    re-plans (and re-executes) every earlier axis's window sort under
+    each later axis's counts subtree — measured 4 lineitem scans and
+    12 exchanges for two axes on q_corr_spearman. Here every count
+    table derives from the ORIGINAL input (all bin columns are
+    map-side projections of it), so the expensive in-bin window sorts
+    are planned exactly once each, chained back-to-back on the same
+    lineage: 2 axes = 2 fact shuffles (one per axis order) + 2 cheap
+    count aggregates + broadcast offset joins.
+    """
+    for _, bin_width, _ in specs:
+        if bin_width <= 0:
+            raise ValueError(f"bin_width must be positive, got {bin_width}")
+    bins = {
+        out: F.floor(F.col(val) / F.lit(float(w))) for val, w, out in specs
+    }
+    binned = df
+    for out, col in bins.items():
+        binned = binned.withColumn(f"__bin_{out}", col)
+
+    out = binned
+    for value_col, _, out_col in specs:
+        b = f"__bin_{out_col}"
+        # Counts come from `binned` (the shared map-side projection of
+        # the input), never from `out` — this is what keeps earlier
+        # axes' window sorts out of later axes' count subtrees.
+        counts = binned.groupBy(group_col, b).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        w_off = (
+            Window.partitionBy(group_col)
+            .orderBy(b)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = counts.select(
+            group_col,
+            b,
+            F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+        )
+        w_bin = Window.partitionBy(group_col, b).orderBy(value_col)
+        w_ties = w_bin.rangeBetween(Window.currentRow, Window.currentRow)
+        local = 2 * (F.col("__offset") + F.rank().over(w_bin)) + F.count(
+            F.lit(1)
+        ).over(w_ties) - F.lit(1)
+        out = (
+            out.join(F.broadcast(offsets), [group_col, b])
+            .withColumn(out_col, local.cast("decimal(18,0)"))
+            .drop("__offset")
+        )
+    return out.drop(*[f"__bin_{o}" for _, _, o in specs])
+
+
+def scaled_rank_by_value(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "r",
+) -> DataFrame:
+    """Append ``out_col`` = ``2*rank + ties - 1`` (identical contract
+    to :func:`binned_scaled_rank`) for a DOMAIN-BOUNDED value column —
+    computed with ZERO sorts or shuffles of the fact table.
+
+    The scaled average rank is a pure function of (group, value):
+    ``2*(#strictly smaller) + (#equal) + 1``. So it is computed on the
+    per-(group, distinct-value) count table — one map-side-partial
+    aggregate whose shuffle carries only distinct pairs — prefix-summed
+    per group (a window over the tiny table), and broadcast-joined
+    back. The fact table itself is never sorted, never shuffled.
+
+    Use when ``group_col × value_col`` distinct pairs comfortably
+    broadcast (domain-bounded measures: quantities, flags, small-grid
+    prices). For unbounded/continuous values the lookup table grows
+    with the data — use :func:`binned_scaled_rank`, which bounds
+    per-task sort size instead.
+    """
+    vc = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_before = (
         Window.partitionBy(group_col)
-        .orderBy("__bin")
+        .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
+    lut = vc.select(
         group_col,
-        "__bin",
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__offset"),
+        value_col,
+        (
+            2 * F.coalesce(F.sum("__n").over(w_before), F.lit(0))
+            + F.col("__n")
+            + F.lit(1)
+        ).cast("decimal(18,0)").alias(out_col),
     )
-    w_bin = Window.partitionBy(group_col, "__bin").orderBy(value_col)
-    w_ties = w_bin.rangeBetween(Window.currentRow, Window.currentRow)
-    local = 2 * (F.col("__offset") + F.rank().over(w_bin)) + F.count(
-        F.lit(1)
-    ).over(w_ties) - F.lit(1)
-    return (
-        binned.join(F.broadcast(offsets), [group_col, "__bin"])
-        .withColumn(out_col, local.cast("decimal(18,0)"))
-        .drop("__bin", "__offset")
+    return df.join(F.broadcast(lut), [group_col, value_col])
+
+
+def kth_value_by_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "kth_value",
+    n_col: str = "n",
+    k_of_n=None,
+) -> DataFrame:
+    """Per-group k-th order statistic for a DOMAIN-BOUNDED value
+    column — no row of the fact table is ever ranked or sorted.
+
+    The order statistic is read off the per-(group, distinct-value)
+    count table: one map-side-partial aggregate (the shuffle carries
+    only distinct pairs), cumulative counts per group (a window over
+    the tiny table), and the row where the cumulative count first
+    reaches position k IS the k-th value. Same ``k_of_n`` contract as
+    :func:`binned_kth_value` (default lower median ``(n+1) div 2``);
+    returns one row per group: ``(group_col, n_col, out_col)``.
+
+    For unbounded/continuous values the count table approaches the
+    fact table and its per-group window becomes the group-count-
+    parallelism sort this module exists to avoid — use
+    :func:`binned_kth_value` there.
+    """
+    if k_of_n is None:
+        k_of_n = lambda n: F.floor((n + F.lit(1)) / 2)  # noqa: E731
+    vc = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__vn"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    w_all = Window.partitionBy(group_col)
+    marked = vc.select(
+        group_col,
+        value_col,
+        (F.sum("__vn").over(w_cum) - F.col("__vn")).alias("__before"),
+        F.sum("__vn").over(w_cum).alias("__incl"),
+        F.sum("__vn").over(w_all).alias(n_col),
+    )
+    k = k_of_n(F.col(n_col))
+    return marked.filter(
+        (F.col("__before") < k) & (k <= F.col("__incl"))
+    ).select(group_col, n_col, F.col(value_col).alias(out_col))
 
 
 def binned_kth_value(
@@ -197,4 +319,11 @@ def binned_ntile(
     )
 
 
-__all__ = ["binned_kth_value", "binned_ntile", "binned_scaled_rank"]
+__all__ = [
+    "binned_kth_value",
+    "binned_ntile",
+    "binned_scaled_rank",
+    "binned_scaled_ranks",
+    "kth_value_by_counts",
+    "scaled_rank_by_value",
+]

@@ -1568,23 +1568,28 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.operators.ranks import (  # noqa: PLC0415
-        binned_scaled_rank,
+        binned_scaled_ranks,
+        scaled_rank_by_value,
     )
 
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_extendedprice"
     )
-    # Ranks come from operators/ranks.py::binned_scaled_rank — a plain
-    # rank() window here would partition by l_returnflag (3 groups =
-    # 3 tasks sorting the whole fact table; measured 97 s at sf10 vs
-    # 33 s binned, 2.9x). Bin widths size parallelism: quantity spans ~[1,50]
-    # (width 2 -> ~25 bins/group), extendedprice ~[900, 105k]
-    # (width 2048 -> ~50 bins/group).
-    ranked = binned_scaled_rank(
-        li, "l_returnflag", "l_quantity", bin_width=2.0, out_col="rx"
-    )
-    ranked = binned_scaled_rank(
-        ranked, "l_returnflag", "l_extendedprice", bin_width=2048.0, out_col="ry"
+    # A plain rank() window would partition by l_returnflag (3 groups
+    # = 3 tasks sorting the whole fact table; measured 97 s at sf10 vs
+    # 33 s binned). Each axis now uses the cheapest exact strategy for
+    # its domain (operators/ranks.py):
+    # - l_quantity is DOMAIN-BOUNDED (~50 distinct integers), so its
+    #   scaled rank is a pure function of (flag, value) — computed on
+    #   the tiny distinct-value count table and broadcast back. Zero
+    #   sorts, zero fact shuffles for this axis, at any corpus size.
+    # - l_extendedprice is effectively continuous, so it keeps the
+    #   bin-parallel window (width 2048 -> ~50 bins/group; the sort
+    #   partitions by (flag, bin), parallelism scales with the width
+    #   knob, never the group count).
+    ranked = scaled_rank_by_value(li, "l_returnflag", "l_quantity", out_col="rx")
+    ranked = binned_scaled_ranks(
+        ranked, "l_returnflag", [("l_extendedprice", 2048.0, "ry")]
     ).select("l_returnflag", "rx", "ry")
     m = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1652,16 +1657,23 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.operators.ranks import (  # noqa: PLC0415
-        binned_kth_value,
+        kth_value_by_counts,
     )
 
     li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
-    # Both medians come from operators/ranks.py::binned_kth_value — a
-    # counts pass locates the bin holding position (n+1) div 2, then
-    # only THAT bin's rows get ranked. A flag-partitioned window form
-    # sorts the whole table on #groups tasks (46 s at sf10 vs 16 s
-    # binned, and 1.8 s -> 1.5 s even at sf0.1); this form
-    # never sorts more than one bin per group.
+    # l_quantity is DOMAIN-BOUNDED (~50 distinct integers), and so is
+    # |l_quantity - median| — so both medians are read off tiny
+    # (flag, distinct-value) count tables
+    # (operators/ranks.py::kth_value_by_counts): one map-side-partial
+    # aggregate each, cumulative counts on the ~150-row table, no row
+    # of the fact table ever ranked or sorted. Lineage of the round-4
+    # fixes for this key: flag-partitioned windows sorted the whole
+    # table on #groups tasks (46 s at sf10); binned k-th selection
+    # ranked only the bin holding position k (16 s); counting beats
+    # selecting because the fact side's only work is two partial
+    # aggregates (binned_kth_value remains the general path for
+    # unbounded/continuous measures, hypothesis-pinned in
+    # tests/test_properties.py).
     from pipeline_airflow_docker_spark.functions.materialize import (  # noqa: PLC0415
         materialize,
     )
@@ -1669,18 +1681,18 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # med is 3 rows consumed by three downstream subtrees (dev, the
     # final join, and mad's lineage through dev); materializing it
     # stops Catalyst re-planning its count+select subtree into each
-    # consumer (8 lineitem scans -> 4).
+    # consumer (extra full lineitem aggregates otherwise).
     med = materialize(
-        binned_kth_value(
-            li, "l_returnflag", "l_quantity", bin_width=2.0, out_col="med_qty"
+        kth_value_by_counts(
+            li, "l_returnflag", "l_quantity", out_col="med_qty"
         )
     )
     dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
         F.abs(F.col("l_quantity") - F.col("med_qty")).alias("dev"),
     )
-    mad = binned_kth_value(
-        dev, "l_returnflag", "dev", bin_width=1.0, out_col="mad_qty"
+    mad = kth_value_by_counts(
+        dev, "l_returnflag", "dev", out_col="mad_qty"
     ).select("l_returnflag", "mad_qty")
     return (
         med.join(mad, "l_returnflag")

@@ -334,34 +334,38 @@ def test_orc_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
 
 
 def test_spearman_rank_windows_are_bin_parallel(spark, sf_dir):
-    """B40: the expensive rank windows must partition by (flag, BIN),
-    never by l_returnflag alone — a flag-only rank window has
-    parallelism = number of groups (3 tasks sorting the whole fact
-    table; measured 97 s vs 33 s at sf10). The tiny offset prefix-sum
-    on the counts table is the only flag-only window allowed."""
+    """B40: a flag-only rank window has parallelism = number of groups
+    (3 tasks sorting the whole fact table; measured 97 s vs 33 s at
+    sf10). The domain-bounded qty axis must carry NO fact ranking
+    window at all (scaled_rank_by_value count-table lookup); the
+    continuous price axis keeps exactly one rank window, and it must
+    partition by (flag, BIN). The tiny offset/lookup prefix-sums on
+    count tables are the only flag-only windows allowed."""
     import re
 
     plan = explain(spark, sf_dir, "q_corr_spearman")
-    for m in re.finditer(r"rank\([^)]*\) windowspecdefinition\(([^)]*)\)", plan):
-        assert "__bin" in m.group(1), plan
+    specs = re.findall(r"rank\([^)]*\) windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 1, plan  # price axis only — qty axis ranks by lookup
+    assert "__bin" in specs[0], plan
     tree = plan.split("\n\n")[0]
     assert "CartesianProduct" not in tree, plan
     # offsets attach by broadcast — the fact table never joins by shuffle
     assert "SortMergeJoin" not in tree, plan
 
 
-def test_mad_is_binned_selection_not_group_sort(spark, sf_dir):
-    """B41: both medians are binned k-th-value selections — every
-    row_number windowspec must include the bin column (a flag-only
-    window sorts the whole table on #groups tasks: 46 s vs 16 s at
-    sf10), the 3-row med result must be materialized so its subtree
-    isn't re-planned into every consumer (2 parquet scans, not 8),
-    and the fact table never joins by shuffle."""
-    import re
-
+def test_mad_reads_medians_off_count_tables(spark, sf_dir):
+    """B41: l_quantity (and therefore |l_quantity - med|) is domain-
+    bounded, so both medians come from (flag, distinct-value) count
+    tables (kth_value_by_counts) — NO ranking window over fact rows
+    at all (round-4 lineage: flag-only windows sorted the whole table
+    on #groups tasks, 46 s at sf10; binned selection ranked one bin,
+    16 s; counting leaves the fact side two partial aggregates). The
+    3-row med result must stay materialized so its subtree isn't
+    re-planned into every consumer, and the fact table never joins by
+    shuffle."""
     plan = explain(spark, sf_dir, "q_agg_mad")
-    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
-    assert specs and all("__bin" in s for s in specs), plan
+    assert "row_number" not in plan, plan
+    assert "rank(" not in plan, plan
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") <= 2, plan
     assert "SortMergeJoin" not in tree, plan

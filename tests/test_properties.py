@@ -556,6 +556,53 @@ def test_binned_scaled_rank_equals_plain_window_rank(spark, vals, width):
 @given(
     vals=st.lists(
         st.tuples(
+            st.integers(min_value=0, max_value=1),                 # group
+            st.floats(min_value=-50, max_value=50,
+                      allow_nan=False, allow_infinity=False),      # axis 1
+            st.floats(min_value=-9, max_value=9,
+                      allow_nan=False, allow_infinity=False),      # axis 2
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    widths=st.sampled_from([(0.5, 3.0), (1000.0, 0.25)]),
+)
+def test_binned_scaled_ranks_two_axes_equal_plain_windows(spark, vals, widths):
+    """The single-composition multi-axis form (used by
+    q_corr_spearman so axis 1's window sort is planned once, not
+    re-planned under axis 2's count subtree) must emit, per axis, the
+    identical scaled rank the chained/plain window form yields."""
+    from pyspark.sql import Window
+
+    from pipeline_airflow_docker_spark.operators.ranks import binned_scaled_ranks
+
+    rows = [(g, x, y, i) for i, (g, x, y) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, x double, y double, id long")
+    got = {
+        (r.id, int(r.rx), int(r.ry))
+        for r in binned_scaled_ranks(
+            df, "g", [("x", widths[0], "rx"), ("y", widths[1], "ry")]
+        ).collect()
+    }
+
+    def plain(col):
+        wr = Window.partitionBy("g").orderBy(col)
+        wt = wr.rangeBetween(Window.currentRow, Window.currentRow)
+        return (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
+        ).cast("decimal(18,0)")
+
+    exp = {
+        (r.id, int(r.rx), int(r.ry))
+        for r in df.select("id", plain("x").alias("rx"), plain("y").alias("ry")).collect()
+    }
+    assert got == exp
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
             st.integers(min_value=0, max_value=1),
             st.floats(min_value=-50, max_value=50,
                       allow_nan=False, allow_infinity=False),
@@ -584,6 +631,56 @@ def test_binned_kth_value_is_lower_median(spark, vals, width):
     for g, vs in groups.items():
         vs.sort()
         assert got[g] == (len(vs), vs[(len(vs) + 1) // 2 - 1])
+
+
+@SLOW
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),                 # group
+            st.integers(min_value=-5, max_value=5),                # bounded value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_by_value_rank_and_kth_match_general_forms(spark, vals):
+    """The domain-bounded strategies (count-table lookup, zero fact
+    sorts — q_corr_spearman's qty axis and q_agg_mad's medians) must
+    emit exactly what the general binned forms emit on data with heavy
+    ties: per-row scaled average rank and per-group lower median."""
+    from collections import defaultdict
+
+    from pipeline_airflow_docker_spark.operators.ranks import (
+        kth_value_by_counts,
+        scaled_rank_by_value,
+    )
+
+    rows = [(g, float(v), i) for i, (g, v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g long, v double, id long")
+
+    groups = defaultdict(list)
+    for g, v, _ in rows:
+        groups[g].append(v)
+
+    got_rank = {
+        (r.id, int(r.r))
+        for r in scaled_rank_by_value(df, "g", "v").collect()
+    }
+    exp_rank = set()
+    for g, v, i in rows:
+        smaller = sum(1 for x in groups[g] if x < v)
+        ties = sum(1 for x in groups[g] if x == v)
+        exp_rank.add((i, 2 * smaller + ties + 1))
+    assert got_rank == exp_rank
+
+    got_med = {
+        r.g: (r.n, r.kth_value)
+        for r in kth_value_by_counts(df, "g", "v").collect()
+    }
+    for g, vs in groups.items():
+        vs.sort()
+        assert got_med[g] == (len(vs), vs[(len(vs) + 1) // 2 - 1])
 
 
 @SLOW
