@@ -4,9 +4,22 @@ Dedup/fingerprint operators need hash values that are *reproducible
 across engines and cluster runs* — the DuckDB oracle must compute the
 identical value, and a 1000-executor run must hash identically to
 local[32]. ``xxhash64``/``hash`` differ per engine, so the hash
-primitive here is ``md5`` (identical lowercase hex everywhere) with a
-seed prefix; min/compare operations use the hex strings directly
-(fixed-length hex compares lexicographically == numerically).
+primitive is ``md5`` (identical lowercase hex everywhere). Two
+families:
+
+- the STRING family (``seeded_md5``/``shingles``/``minhash_signature``
+  /``band_keys``): md5 per (shingle, seed) with a seed prefix;
+  min/compare on the hex strings (fixed-length hex compares
+  lexicographically == numerically). Kept for n-gram Jaccard and as
+  the reference formulation.
+- the INTEGER family (``token_hashes``/``int_shingles``/
+  ``minhash_signature_int``/``band_keys_int``): ONE md5 per token,
+  then exact int64 arithmetic (rolling-polynomial shingles, affine-map
+  signature hashes, all mod 2^40 — max intermediate 2^40·2^20 < 2^63
+  so the math is identical in any engine with 64-bit ints). This is
+  the dedup hot path: it removes the per-(shingle, seed) md5 fan-out
+  (8× the corpus shingle count) and ships long arrays instead of
+  string arrays (measured 3.5× end-to-end on MinHash dedup at sf10).
 
 Everything is built-in higher-order functions — JVM-side, no Python in
 the hot path.
@@ -67,6 +80,104 @@ def band_keys(signature: Column, n_bands: int = 4, rows_per_band: int = 2) -> Co
                 F.element_at(signature, j * F.lit(rows_per_band) + F.lit(r + 1))
                 for r in range(rows_per_band)
             ]
+        ),
+    )
+
+
+# ----- integer MinHash family -----------------------------------------
+# One md5 per TOKEN (not per shingle×seed): the token hash is the first
+# 10 hex digits of md5 as a 40-bit int; shingles are rolling-polynomial
+# combinations of token hashes mod 2^40; the per-seed signature hashes
+# are affine maps (s*a_i + b_i) mod 2^40 with odd multipliers (a
+# bijection mod 2^40, so min statistics behave like independent
+# permutation approximations — the standard multiply-mod MinHash
+# family). Every step is exact int64 arithmetic (max intermediate
+# 2^40 * 2^20 < 2^63), so DuckDB replays it bit-identically — and the
+# string scheme's per-(shingle, seed) md5 calls (8× the corpus's
+# shingle count) collapse to one md5 per token.
+
+MINHASH_M = 1 << 40
+SHINGLE_P = 786433  # odd, < 2^20: rolling-hash base
+MINHASH_A = (999983, 999979, 999961, 999959, 999953, 999931, 999917, 999907)
+MINHASH_B = (
+    15485863, 32452843, 49979687, 67867967,
+    86028121, 104395301, 122949823, 141650939,
+)
+
+
+def token_hashes(toks: Column) -> Column:
+    """40-bit integer hash per token: first 10 hex digits of md5."""
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 10), 16, 10).cast("long"),
+    )
+
+
+def int_shingles(ih: Column, n: int = 3) -> Column:
+    """Integer n-gram shingles from a TOKEN-HASH array (the output of
+    :func:`token_hashes`, staged as a real column): rolling polynomial
+    ``h = (h*P + token_hash) mod 2^40`` over each window of ``n``
+    token hashes. Same short-document semantics as :func:`shingles`
+    (windows start at 1..max(len-n+1, 1); out-of-range positions
+    contribute 0).
+
+    ``ih`` MUST be a materialized column, not an inline
+    ``token_hashes(...)`` expression: Catalyst duplicates an inline
+    subexpression into every ``try_element_at`` access inside the
+    lambda, re-computing the full md5 array n times per shingle
+    (measured 10× end-to-end on the shingle build)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ih) - F.lit(n - 1), F.lit(1)))
+
+    def one(i: Column) -> Column:
+        h = F.lit(0).cast("long")
+        for j in range(n):
+            # try_element_at: the last window of a short document reads
+            # past the end by design (same semantics as shingles());
+            # plain element_at would throw under ANSI sessions.
+            tok = F.coalesce(F.try_element_at(ih, i + F.lit(j)), F.lit(0))
+            h = (h * F.lit(SHINGLE_P) + tok) % F.lit(MINHASH_M)
+        return h
+
+    return F.transform(idx, one)
+
+
+def minhash_signature_int(shingle_set: Column, n_hashes: int = 8) -> Column:
+    """Integer MinHash signature: per seed i, the minimum of
+    ``(s * A[i] + B[i]) mod 2^40`` over the shingle set."""
+    if n_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"n_hashes={n_hashes} exceeds the {len(MINHASH_A)} fixed seeds"
+        )
+    a = F.array(*[F.lit(x) for x in MINHASH_A[:n_hashes]])
+    b = F.array(*[F.lit(x) for x in MINHASH_B[:n_hashes]])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingle_set,
+                lambda s: (
+                    s * F.element_at(a, i + 1) + F.element_at(b, i + 1)
+                ) % F.lit(MINHASH_M),
+            )
+        ),
+    )
+
+
+def band_keys_int(
+    signature: Column, n_bands: int = 4, rows_per_band: int = 2
+) -> Column:
+    """LSH banding over an integer signature: the band key joins
+    ``rows_per_band`` adjacent signature values with ``_``."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda j: F.concat_ws(
+            "_",
+            *[
+                F.element_at(
+                    signature, j * F.lit(rows_per_band) + F.lit(r + 1)
+                ).cast("string")
+                for r in range(rows_per_band)
+            ],
         ),
     )
 

@@ -20,11 +20,13 @@ from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.functions.materialize import materialize, release
 from pipeline_airflow_docker_spark.functions.text import (
-    band_keys,
+    band_keys_int,
+    int_shingles,
     jaccard,
-    minhash_signature,
+    minhash_signature_int,
     shingles,
     simhash32,
+    token_hashes,
     tokens,
 )
 from pipeline_airflow_docker_spark.functions.vectors import cosine, sign_bucket
@@ -98,31 +100,51 @@ def ngram_jaccard_pairs(
 
 
 def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, sh) distinct-shingle table, materialized once:
+    """(id, sh) distinct INTEGER-shingle table, materialized once:
     downstream LSH reads it several times (signature + both sides of
     the verify join), and without materialization Spark recomputes the
     CPU-heavy shingle pipeline per use — measured 9× end-to-end at
-    sf0.1. The materialization strategy is the deployment knob in
+    sf0.1. Shingles are 40-bit rolling-polynomial hashes of per-token
+    md5 ints (functions/text.py::int_shingles): one md5 per TOKEN
+    instead of 1 + n_hashes per shingle string, long arrays instead of
+    string arrays through materialization and the verify join, and
+    Jaccard over the hashed sets is the set-level identical statistic
+    (the deterministic mapping is replayed by the DuckDB oracle, so
+    even theoretical hash collisions are graded bit-identically). The
+    materialization strategy is the deployment knob in
     functions/materialize.py — local_checkpoint for tests,
     disk_persist/parquet_scratch at cluster scale so the shingle table
     never pins executor memory."""
-    return materialize(_spread(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
-    ))
+    return materialize(
+        _spread(df)
+        # Two projections on purpose: the token-hash array must be a
+        # real column before the shingle lambda reads it, or Catalyst
+        # re-computes the md5 transform per element access (see
+        # functions/text.py::int_shingles).
+        .select(
+            F.col(id_col).alias("id"),
+            token_hashes(tokens(text_col)).alias("__ih"),
+        )
+        .select(
+            "id",
+            F.array_distinct(int_shingles(F.col("__ih"), n)).alias("sh"),
+        )
+    )
 
 
 def _band_table(sh: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     """(id, band, bkey) LSH band keys from the shingle table. Only
     these short keys ever go through the candidate-join shuffle — never
     the shingle arrays, which a band explode would otherwise duplicate
-    n_bands× through the shuffle."""
-    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    n_bands× through the shuffle. Signatures are the affine-map integer
+    MinHash (functions/text.py::minhash_signature_int) — pure int64
+    arithmetic, zero md5 calls."""
+    sig = sh.withColumn("sig", minhash_signature_int(F.col("sh"), n_hashes))
     return sig.select(
         "id",
-        F.posexplode(band_keys(F.col("sig"), n_bands, n_hashes // n_bands)).alias(
-            "band", "bkey"
-        ),
+        F.posexplode(
+            band_keys_int(F.col("sig"), n_bands, n_hashes // n_bands)
+        ).alias("band", "bkey"),
     )
 
 

@@ -50,6 +50,32 @@ _DD_SHINGLES3 = (
     "list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1), "
     "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh"
 )
+# Integer MinHash family — mirrors functions/text.py::int_shingles /
+# minhash_signature_int exactly (one md5 per token; 40-bit rolling-
+# polynomial shingles; affine-map signature hashes — all exact int64,
+# max intermediate 2^40 * 2^20 < 2^63 in both engines).
+_DD_MINHASH_M = "1099511627776"  # 2^40
+_DD_MINHASH_A = "[999983,999979,999961,999959,999953,999931,999917,999907]"
+_DD_MINHASH_B = (
+    "[15485863,32452843,49979687,67867967,"
+    "86028121,104395301,122949823,141650939]"
+)
+_DD_TOKHASH = (
+    "list_transform(toks, t -> ('0x' || substr(md5(t),1,10))::BIGINT) AS ih"
+)
+_DD_ISHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1), i -> "
+    f"((coalesce(ih[i],0) * 786433 + coalesce(ih[i+1],0)) % {_DD_MINHASH_M}"
+    f" * 786433 + coalesce(ih[i+2],0)) % {_DD_MINHASH_M})) AS sh"
+)
+_DD_MINHASH_SIG = (
+    "list_transform(range(0, 8), i -> list_min(list_transform(sh, x -> "
+    f"(x * ({_DD_MINHASH_A}[i+1]) + ({_DD_MINHASH_B}[i+1]))"
+    f" % {_DD_MINHASH_M}))) AS mh"
+)
+_DD_MINHASH_BKEY = (
+    "CAST(mh[2*j + 1] AS VARCHAR) || '_' || CAST(mh[2*j + 2] AS VARCHAR)"
+)
 # Sequential-fold dot product of two float lists, in double.
 _DD_DOT = (
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip({a}, {b}), "
@@ -108,24 +134,21 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# C2b MinHash + LSH near-dup pairs, fully oracle-checked: signature =
-# per-seed min of seeded md5 over the shingle set; candidates from a
-# band-key equi-join; exact-Jaccard verify. Identical math in DuckDB.
+# C2b MinHash + LSH near-dup pairs, fully oracle-checked: integer
+# MinHash (one md5 per token; affine-map signature hashes — see
+# functions/text.py); candidates from a band-key equi-join;
+# exact-Jaccard verify over the hashed shingle sets. Identical int64
+# math in DuckDB.
 # --------------------------------------------------------------------
 @query(
     "q_dedup_minhash",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_DD_TOKS} FROM documents),
-    s AS (SELECT doc_id, {_DD_SHINGLES3} FROM tok),
-    sig AS (
-      SELECT doc_id, sh,
-             list_transform(range(0, 8), i ->
-               list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS mh
-      FROM s
-    ),
+    ihh AS (SELECT doc_id, toks, {_DD_TOKHASH} FROM tok),
+    s AS (SELECT doc_id, {_DD_ISHINGLES3} FROM ihh),
+    sig AS (SELECT doc_id, sh, {_DD_MINHASH_SIG} FROM s),
     bands AS (
-      SELECT doc_id, sh, j,
-             mh[2*j + 1] || mh[2*j + 2] AS bkey
+      SELECT doc_id, sh, j, {_DD_MINHASH_BKEY} AS bkey
       FROM sig, generate_series(0, 3) t(j)
     ),
     cand AS (
@@ -156,16 +179,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 _DD_MINHASH_PAIR_CTES = f"""
     tok AS (SELECT doc_id, {_DD_TOKS} FROM documents),
-    s AS (SELECT doc_id, {_DD_SHINGLES3} FROM tok),
-    sig AS (
-      SELECT doc_id, sh,
-             list_transform(range(0, 8), i ->
-               list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS mh
-      FROM s
-    ),
+    ihh AS (SELECT doc_id, toks, {_DD_TOKHASH} FROM tok),
+    s AS (SELECT doc_id, {_DD_ISHINGLES3} FROM ihh),
+    sig AS (SELECT doc_id, sh, {_DD_MINHASH_SIG} FROM s),
     bands AS (
-      SELECT doc_id, sh, j,
-             mh[2*j + 1] || mh[2*j + 2] AS bkey
+      SELECT doc_id, sh, j, {_DD_MINHASH_BKEY} AS bkey
       FROM sig, generate_series(0, 3) t(j)
     ),
     cand AS (
