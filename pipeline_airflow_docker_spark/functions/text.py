@@ -199,7 +199,12 @@ def _hex_digit_bit(tok: Column, b: Column) -> Column:
 def simhash32(toks: Column) -> Column:
     """32-bit SimHash over a token array: per bit, majority vote of the
     token-hash bits (+1/-1); set the bit when the vote is positive.
-    Pure built-in higher-order functions; identical in DuckDB."""
+    Pure built-in higher-order functions; identical in DuckDB.
+
+    Reference formulation (md5 re-hashed per bit — 32 md5 per token).
+    Production callers stage :func:`token_hashes32` as a column and
+    use :func:`simhash32_int`, which computes the IDENTICAL value from
+    one md5 per token."""
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(31)),
         F.lit(0).cast("long"),
@@ -209,6 +214,47 @@ def simhash32(toks: Column) -> Column:
                 toks,
                 F.lit(0).cast("long"),
                 lambda a, tok: a + F.when(_hex_digit_bit(tok, b) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.pow(F.lit(2.0), b).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def token_hashes32(toks: Column) -> Column:
+    """32-bit integer hash per token: first 8 hex digits of md5 (the
+    int value of the digit string :func:`simhash32`'s bit extractor
+    reads)."""
+    return F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def simhash32_int(ih32: Column) -> Column:
+    """:func:`simhash32` computed from a staged :func:`token_hashes32`
+    column — bit-identical output (bit ``b`` of the md5-prefix int is
+    ``(v >> (31-b)) & 1``, exactly the hex-digit/LSB-within-digit read
+    the string form performs), at one md5 per token instead of 32.
+    ``ih32`` MUST be a real column: an inline expression would be
+    re-evaluated once per bit inside the fold (see
+    :func:`int_shingles`)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                ih32,
+                F.lit(0).cast("long"),
+                lambda a, v: a
+                + F.when(
+                    F.floor(
+                        v / F.pow(F.lit(2.0), F.lit(31) - b).cast("long")
+                    ).cast("long") % 2
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
             )
             > 0,
             F.pow(F.lit(2.0), b).cast("long"),

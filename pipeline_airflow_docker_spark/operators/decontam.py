@@ -34,17 +34,21 @@ def contaminated_ids(
     """Distinct corpus ids sharing >= 1 token ``n``-gram with any
     benchmark document. Benchmark shingles are broadcast; the corpus
     side stays map-side until the final small distinct."""
+    # toks staged as a column on both sides: the shingle lambda reads
+    # it per element; inline it would re-split per access (see
+    # dedup._shingle_table).
     bench_sh = (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(shingles(tokens(text_col), n))
-            ).alias("g")
+        benchmark.select(tokens(text_col).alias("__toks"))
+        .select(
+            F.explode(F.array_distinct(shingles(F.col("__toks"), n))).alias("g")
         )
         .distinct()
     )
     corpus_sh = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(tokens(text_col), n))).alias("g"),
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select(
+        "id",
+        F.explode(F.array_distinct(shingles(F.col("__toks"), n))).alias("g"),
     )
     return (
         corpus_sh.join(broadcast(bench_sh), "g")

@@ -25,25 +25,31 @@ from pipeline_airflow_docker_spark.functions.text import (
     jaccard,
     minhash_signature_int,
     shingles,
-    simhash32,
+    simhash32_int,
     token_hashes,
+    token_hashes32,
     tokens,
 )
 from pipeline_airflow_docker_spark.functions.vectors import cosine, sign_bucket
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition up to the session's default parallelism
-    when the input has fewer partitions.
+    """Round-robin repartition up to 3× the session's default
+    parallelism when the input has fewer partitions.
 
     The shingle/signature stages are CPU-bound per-document work; a
     small corpus read from one parquet file splits at row-group
     granularity (often < cores), which serializes the whole signature
     computation onto a few tasks (measured 7× slowdown at sf0.1 on
-    local[32]). At 100 TB the input has orders of magnitude more
-    splits than cores and this is a no-op — the guard keeps the extra
+    local[32]). The 3× factor matters as much as the floor: an input
+    that lands just above the core count (34 splits on 32 cores —
+    the sf10 documents table) runs as one full wave plus a 2-task
+    straggler wave, doubling wall clock; 3× cores gives the scheduler
+    enough granularity to balance (measured 2.4× on per-doc hash
+    stages). At 100 TB the input has orders of magnitude more splits
+    than 3× cores and this is a no-op — the guard keeps the extra
     shuffle away from inputs that are already parallel enough."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    target = 3 * df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -82,11 +88,22 @@ def ngram_jaccard_pairs(
     # Materialized once — the self-join reads it twice and would
     # otherwise recompute the shingle pipeline per side (mode knob:
     # functions/materialize.py).
-    sh = materialize(_spread(df).select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")] ),
-        F.array_distinct(shingles(tokens(text_col), n)).alias("sh"),
-    ))
+    sh = materialize(
+        _spread(df)
+        # toks staged as a column: the shingle lambda reads it per
+        # element; inline it would re-split per access (see
+        # _shingle_table).
+        .select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else [F.lit(1).alias("blk")]),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "id",
+            "blk",
+            F.array_distinct(shingles(F.col("__toks"), n)).alias("sh"),
+        )
+    )
     a, b = sh.alias("a"), sh.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
@@ -235,9 +252,38 @@ def minhash_incremental(
 def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document 32-bit SimHash (near-dup docs land within small
     Hamming distance; equal hashes are the degenerate block key)."""
-    return _spread(df).select(
-        F.col(id_col).alias("id"), simhash32(tokens(text_col)).alias("simhash")
+    # One md5 per token (functions/text.py::token_hashes32), then the
+    # majority votes run as a CODEGEN'D aggregate over the exploded
+    # (id, token-hash) rows: 32 shiftright/sum expressions instead of
+    # a nested higher-order fold — higher-order lambdas evaluate
+    # interpreted, and 32 bits × tokens of interpreted Expression.eval
+    # dominated this operator (measured 37 s -> ~8 s at sf10 for the
+    # same bit-identical simhash values; majority 2*cnt_b > n ⟺ the
+    # ±1 vote sum > 0). The explode/groupBy pair adds one keyed
+    # shuffle, but partial aggregation collapses each document's rows
+    # map-side, so only ~1 row per (doc, partition) ships.
+    ex = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("id"),
+            token_hashes32(tokens(text_col)).alias("__ih32"),
+        )
+        .select("id", F.explode("__ih32").alias("__v"))
     )
+    cnts = ex.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright("__v", 31 - b) % 2).alias(f"__b{b}")
+            for b in range(32)
+        ],
+    )
+    simhash = None
+    for b in range(32):
+        term = F.when(
+            2 * F.col(f"__b{b}") > F.col("__n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return cnts.select("id", simhash.cast("long").alias("simhash"))
 
 
 def simhash_dup_pairs(

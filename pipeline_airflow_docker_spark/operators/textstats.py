@@ -113,11 +113,26 @@ def fingerprint(
     """Document fingerprints: full-content md5 plus a winnowing-style
     rolling fingerprint (minimum hash over ``window``-token shingles) —
     stable under small edits away from the minimizing window."""
-    sh = shingles(tokens(text_col), window)
-    return df.select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("content_fp"),
-        F.array_min(F.transform(sh, lambda s: seeded_md5(s, 0))).alias("rolling_fp"),
+    # Stage toks, then the shingle array, as real columns: an inline
+    # split/shingle expression is re-evaluated per element access
+    # inside the downstream higher-order lambdas (measured 4× on the
+    # gram operators at sf10).
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("__text"),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            id_col, "__text", shingles(F.col("__toks"), window).alias("__sh")
+        )
+        .select(
+            F.col(id_col),
+            F.md5(F.col("__text")).alias("content_fp"),
+            F.array_min(
+                F.transform(F.col("__sh"), lambda s: seeded_md5(s, 0))
+            ).alias("rolling_fp"),
+        )
     )
 
 
@@ -144,10 +159,12 @@ def repetition_stats(
     to its own key). Integer counts; two double divisions at the end —
     bit-reproducible cross-engine.
     """
+    # Token array staged as a column first — the shingle lambda reads
+    # it per element, and an inline split would be re-evaluated each
+    # time (measured 4× on this shape at sf10).
     grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(tokens(text_col), n)).alias("g"),
-    )
+        F.col(id_col).alias("id"), tokens(text_col).alias("__toks")
+    ).select("id", F.explode(shingles(F.col("__toks"), n)).alias("g"))
     per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("cnt"))
     agg = per_gram.groupBy("id").agg(
         F.sum("cnt").alias("n_grams"),
@@ -255,10 +272,10 @@ def ngram_counts(
     ``vocabulary``. Documents shorter than ``n`` tokens are skipped
     (no padded partial grams). Same single-shuffle + TakeOrdered shape
     as ``vocabulary``."""
-    toks = tokens(text_col)
     return (
-        df.filter(F.size(toks) >= n)
-        .select(F.explode(shingles(toks, n)).alias("gram"))
+        df.select(tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= n)
+        .select(F.explode(shingles(F.col("__toks"), n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("gram"))
@@ -328,12 +345,12 @@ def rare_bigram_ratio(
         materialize,
     )
 
-    toks = tokens(text_col)
     grams = materialize(
-        df.filter(F.size(toks) >= 2).select(
-            F.col(id_col).alias("__doc"),
-            F.explode(shingles(toks, 2)).alias("gram"),
+        df.select(
+            F.col(id_col).alias("__doc"), tokens(text_col).alias("__toks")
         )
+        .filter(F.size("__toks") >= 2)
+        .select("__doc", F.explode(shingles(F.col("__toks"), 2)).alias("gram"))
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     return (

@@ -719,3 +719,45 @@ def test_binned_ntile_equals_window_ntile(spark, vals, n_tiles, width):
         for r in df.select("id", F.ntile(n_tiles).over(w).alias("tier")).collect()
     }
     assert got == exp
+
+
+@SLOW
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab cd",  # spaces produce multi-token docs
+            min_size=1,
+            max_size=30,
+        ).map(lambda s: " ".join(s.split()) or "x"),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_simhash_forms_are_bit_identical(texts, spark):
+    """All three simhash formulations must agree on arbitrary token
+    material: the reference per-(token, bit) md5 fold (simhash32), the
+    one-md5-per-token arithmetic fold (simhash32_int), and the
+    codegen'd explode/bit-count aggregate the simhash_docs operator
+    ships — the chain the q_dedup_simhash oracle relies on."""
+    from pipeline_airflow_docker_spark.functions.text import (
+        simhash32,
+        simhash32_int,
+        token_hashes32,
+        tokens,
+    )
+    from pipeline_airflow_docker_spark.operators.dedup import simhash_docs
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", simhash32(tokens("text")).alias("s")).collect()
+    }
+    arith = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", token_hashes32(tokens("text")).alias("ih")
+        ).select("doc_id", simhash32_int(F.col("ih")).alias("s")).collect()
+    }
+    op = {r.id: r.simhash for r in simhash_docs(df, "doc_id", "text").collect()}
+    assert ref == arith == op
