@@ -1195,13 +1195,15 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # B25 time-series resample + gap-fill (hypertable-rollup shape):
-# hourly per-user buckets, missing hours materialized from a
-# sequence-explode grid (each user's own min..max range — no global
-# calendar join), totals in exact decimal, and a forward-fill of the
+# hourly per-user buckets, missing hours generated JOINLESS — a lag
+# window finds each gap between consecutive observed buckets and a
+# sequence-explode fills it (the union equals the per-user min..max
+# grid exactly, so the oracle keeps the textbook grid + left-join
+# formulation) — totals in exact decimal, and a forward-fill of the
 # last observed total via last(ignorenulls) — the standard
-# state-carry-forward for sensor/event rollups. Grid generation is a
-# per-user explode (no shuffle beyond the bucket aggregate); the fill
-# window rides the same user partitioning.
+# state-carry-forward for sensor/event rollups. The lag and fill
+# windows share the user clustering; nothing grid-sized ever joins
+# (the old grid left-join measured 43 s vs 12-18 s at sf10).
 # --------------------------------------------------------------------
 @query(
     "q_gapfill",
@@ -1241,14 +1243,31 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total"),
     )
-    bounds = hourly.groupBy("user_id").agg(
-        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
-    )
-    grid = bounds.select(
-        "user_id",
-        F.explode(
-            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
-        ).alias("bucket"),
+    # Joinless gap generation: the per-user hour grid [min..max] equals
+    # the observed buckets plus every hour strictly between consecutive
+    # observed buckets, so the missing rows come from a lag window +
+    # explode — no bounds aggregate, no grid-sized equi-join back to
+    # hourly (the old shape shuffled the full grid through a join;
+    # measured 43 s -> 12-18 s at sf10). The lag window and the
+    # forward-fill window share the user_id clustering.
+    hour = F.expr("INTERVAL 1 HOUR")
+    w_lag = Window.partitionBy("user_id").orderBy("bucket")
+    gaps = (
+        hourly.withColumn("__prev", F.lag("bucket").over(w_lag))
+        .filter(
+            F.col("__prev").isNotNull()
+            & (F.col("bucket") > F.col("__prev") + hour)
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("__prev") + hour, F.col("bucket") - hour, hour
+                )
+            ).alias("bucket"),
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast(hourly.schema["total"].dataType).alias("total"),
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -1256,7 +1275,7 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        grid.join(hourly, ["user_id", "bucket"], "left")
+        hourly.unionByName(gaps)
         .select(
             "user_id",
             "bucket",
