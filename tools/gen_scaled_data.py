@@ -80,6 +80,26 @@ def main() -> int:
                 rep = rep.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1_r{r}")
                 )
+            if name == "embeddings" and r > 0:
+                # Per-replica deterministic Rademacher sign flip: sign
+                # patterns square away inside any within-replica inner
+                # product (<S∘a, S∘b> = <a, b>), so each replica's
+                # ANN/dedup workload is an exact copy of the base's —
+                # while cross-replica vectors are near-orthogonal.
+                # Verbatim copies put 100 identical vectors in every
+                # LSH bucket, turning the in-bucket verify quadratic in
+                # the replica count (a generator artifact, not an
+                # operator property).
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: x
+                        * (
+                            1 - 2 * F.pmod(F.hash(F.lit(r), j), F.lit(2))
+                        ).cast("float"),
+                    ),
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:
