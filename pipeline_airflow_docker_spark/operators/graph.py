@@ -68,6 +68,20 @@ def pagerank_fixed_point(
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
+    # The edge list is read 1 + iterations times (degree count + one
+    # contribution join per round). Materialize it once — callers
+    # typically hand in a built subtree (fact join + distinct +
+    # symmetrize union), and without pinning it Spark re-executes that
+    # subtree every round. Unlike the dedup shingle table, edges are
+    # FACT-SCALE (O(graph)), so the default here is the spillable
+    # disk mode, not the in-memory checkpoint — a ~100 M-edge list
+    # memory-checkpointed OOMs an 8 GB local heap outright. An
+    # explicit SPARK_GRAFT_MATERIALIZE still overrides.
+    import os  # noqa: PLC0415
+
+    edges = materialize(
+        edges, how=os.environ.get("SPARK_GRAFT_MATERIALIZE", "disk_persist")
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )

@@ -32,6 +32,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ANSI off: permissive casts match the reference's pandas semantics.
     "spark.sql.ansi.enabled": "false",
+    # WITH RECURSIVE safety valve: the default (1M rows) is sized for
+    # toy data — an acyclic hierarchy walk over a 10-scale fact set
+    # legitimately produces tens of millions of rows. Cycle protection
+    # comes from the acyclic-graph contract (q_recursive_cte) and the
+    # per-level semantics, not this limit.
+    "spark.sql.cteRecursionRowLimit": str(200_000_000),
     # Streaming state in RocksDB (bundled since Spark 3.2): keeps
     # windowed-agg/dedup state off the executor heap, which is the
     # difference between "works" and "OOMs" for 100 TB-scale stateful
