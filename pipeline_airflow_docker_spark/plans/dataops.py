@@ -215,7 +215,8 @@ _TYPO_VALUES = ", ".join(f"('{t}')" for t in _TYPOS)
     "q_fuzzy_join",
     oracle=f"""
     WITH typos(typo) AS (VALUES {_TYPO_VALUES})
-    SELECT t.typo, n.n_name, levenshtein(t.typo, n.n_name) AS dist
+    SELECT t.typo, n.n_name,
+           CAST(levenshtein(t.typo, n.n_name) AS INT) AS dist
     FROM typos t JOIN nation n ON levenshtein(t.typo, n.n_name) <= 2
     """,
 )
@@ -397,7 +398,8 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
            SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
              AS oov_ratio
     FROM tok t LEFT JOIN vocab v USING (token)
@@ -436,7 +438,8 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
     SELECT doc_id,
            COUNT(*) AS n_bigrams,
-           SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS n_rare,
+           CAST(SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
            SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)
              AS rare_ratio
     FROM g JOIN c USING (gram)
@@ -602,8 +605,9 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     isl AS (
       SELECT user_id, s, e,
-             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
-                                   ROWS UNBOUNDED PRECEDING) AS island
+             CAST(SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                        ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS island
       FROM flagged
     )
     SELECT user_id, island, MIN(s) AS island_start, MAX(e) AS island_end,
@@ -683,7 +687,8 @@ def q_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_rows,
            COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_k_valid,
-           SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
            COUNT(TRY_CAST(event_type AS INT)) AS n_type_numeric
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -717,8 +722,8 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT event_type, value,
-             ntile(4) OVER (PARTITION BY event_type
-                            ORDER BY value, event_id) AS tier
+             CAST(ntile(4) OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS INT) AS tier
       FROM events
     )
     SELECT event_type, tier, COUNT(*) AS n,

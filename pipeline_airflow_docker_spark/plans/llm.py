@@ -881,7 +881,8 @@ _DD_SHARD16 = (
     "q_export_shards",
     oracle=f"""
     SELECT shard, doc_id,
-           row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS ord
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                AS INT) AS ord
     FROM (SELECT doc_id, CAST({_DD_SHARD16} AS INT) AS shard FROM documents)
     """,
 )
@@ -911,10 +912,10 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_shuffle_order",
     oracle=f"""
     SELECT doc_id, shard,
-           row_number() OVER (
+           CAST(row_number() OVER (
              PARTITION BY shard
              ORDER BY md5('43:' || CAST(doc_id AS VARCHAR)), doc_id
-           ) AS pos
+           ) AS INT) AS pos
     FROM (SELECT doc_id, CAST({_DD_SHARD16} AS INT) AS shard FROM documents)
     """,
 )
@@ -1559,8 +1560,8 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT source, lang,
              COUNT(*) AS n_docs,
-             SUM(len(string_split(text, ' '))) AS n_tokens,
-             SUM(length(text)) AS n_bytes
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS n_bytes
       FROM documents GROUP BY source, lang
     ),
     tot AS (SELECT SUM(n_tokens) AS t FROM per)

@@ -225,7 +225,8 @@ def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_nest_struct",
     oracle=f"""
-    SELECT to_json(struct_pack(doc_id := doc_id, text := text, lang := lang))
+    SELECT CAST(to_json(struct_pack(doc_id := doc_id, text := text,
+                                    lang := lang)) AS VARCHAR)
              AS original_data_json,
            strftime(to_timestamp({_EPOCH_2024} + doc_id), '%Y-%m-%dT%H:%M:%S')
              AS processed_at,
@@ -274,7 +275,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q_row_number",
-    oracle="SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS idx FROM documents",
+    oracle="SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS idx FROM documents",
 )
 def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -565,7 +566,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
     )
     return read_csv(
-        spark, path, schema="n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+        spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT"
     )
 
 
@@ -601,5 +602,5 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
     )
     return read_json_records(
-        spark, path, schema="c_custkey BIGINT, c_name STRING, c_nationkey BIGINT"
+        spark, path, schema="c_custkey BIGINT, c_name STRING, c_nationkey INT"
     ).filter(F.col("c_nationkey") < 10)

@@ -67,10 +67,10 @@ def _dd_h32(expr: str, seed: int = 42) -> str:
     oracle="""
     SELECT doc_id, source, cap_rank FROM (
       SELECT doc_id, source,
-             ROW_NUMBER() OVER (
+             CAST(ROW_NUMBER() OVER (
                PARTITION BY source
                ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
-             ) AS cap_rank
+             ) AS INT) AS cap_rank
       FROM documents
     ) WHERE cap_rank <= 10
     """,
@@ -180,7 +180,8 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
       FROM pv
     ),
-    t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM pv)
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b FROM pv)
     SELECT n_a, n_b,
            round(abs(cuma::DOUBLE / n_a - cumb::DOUBLE / n_b), 6) AS ks_stat,
            value AS at_value
@@ -215,7 +216,7 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, w, count(*) AS c FROM w WHERE w <> '' GROUP BY source, w
     ),
     a AS (
-      SELECT source, sum(c) AS n_tokens, count(*) AS n_types,
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
              CAST(CAST(sum(CAST(round(c * ln(c), 6) AS DECIMAL(28,6)))
                   AS VARCHAR) AS DOUBLE) AS sclc
       FROM c GROUP BY source
@@ -391,17 +392,17 @@ def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              1000000000000 // n AS rank_fp
       FROM deg, nn
     ),
-    i1 AS (SELECT e.dst AS node, sum(r.rank_fp // r.deg) AS inc
+    i1 AS (SELECT e.dst AS node, CAST(sum(r.rank_fp // r.deg) AS BIGINT) AS inc
            FROM r0 r JOIN edges e ON e.src = r.node GROUP BY e.dst),
     r1 AS (SELECT r.node, r.deg, r.base,
                   (15 * r.base + 85 * COALESCE(i.inc, 0)) // 100 AS rank_fp
            FROM r0 r LEFT JOIN i1 i ON i.node = r.node),
-    i2 AS (SELECT e.dst AS node, sum(r.rank_fp // r.deg) AS inc
+    i2 AS (SELECT e.dst AS node, CAST(sum(r.rank_fp // r.deg) AS BIGINT) AS inc
            FROM r1 r JOIN edges e ON e.src = r.node GROUP BY e.dst),
     r2 AS (SELECT r.node, r.deg, r.base,
                   (15 * r.base + 85 * COALESCE(i.inc, 0)) // 100 AS rank_fp
            FROM r1 r LEFT JOIN i2 i ON i.node = r.node),
-    i3 AS (SELECT e.dst AS node, sum(r.rank_fp // r.deg) AS inc
+    i3 AS (SELECT e.dst AS node, CAST(sum(r.rank_fp // r.deg) AS BIGINT) AS inc
            FROM r2 r JOIN edges e ON e.src = r.node GROUP BY e.dst),
     r3 AS (SELECT r.node, r.deg, r.base,
                   (15 * r.base + 85 * COALESCE(i.inc, 0)) // 100 AS rank_fp

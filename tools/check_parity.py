@@ -2,9 +2,11 @@
 
 Runs every registered query through Spark AND its oracle SQL through
 DuckDB on the same parquet tables, then compares:
-  1. row count,
-  2. column-name sets,
-  3. order-insensitive values (columns sorted by name, rows sorted by
+  1. oracle result TYPES (must lie inside Spark's emitting set — see
+     ``oracle_type_violations``),
+  2. row count,
+  3. column-name sets,
+  4. order-insensitive values (columns sorted by name, rows sorted by
      canonical string form, exact match after canonicalization).
 
 Usage:
@@ -28,6 +30,60 @@ import duckdb  # noqa: E402
 from pipeline_airflow_docker_spark import plans  # noqa: E402
 from pipeline_airflow_docker_spark.catalog import TABLES  # noqa: E402
 from pipeline_airflow_docker_spark.session import get_spark  # noqa: E402
+
+
+# ------------------------------------------------------------------
+# Oracle type strictness. Round 4 lesson: this mirror compared values
+# through ``fetchall()``, where a DuckDB HUGEINT (int128 — what DuckDB
+# widens every un-CAST integer SUM to) arrives as a plain Python int,
+# so five oracles passed locally while the driver's hasher, which
+# canonicalizes through column TYPES, failed them. The mirror is now
+# strictly harder than the driver on types: any oracle column whose
+# DuckDB type lies outside the set Spark can emit fails HERE, before
+# values are even fetched.
+#
+# Allowed = the DuckDB types with an exact Spark counterpart:
+#   BOOLEAN, TINYINT/SMALLINT/INTEGER/BIGINT, FLOAT/DOUBLE,
+#   DECIMAL(p<=38,s), VARCHAR, BLOB, DATE, TIMESTAMP[ WITH TIME ZONE],
+#   LIST (T[]), STRUCT, MAP.
+# Denied = everything Spark cannot produce: the unsigned/int128 family
+# (HUGEINT & friends), INTERVAL, TIME, UUID, ENUM, UNION, BIT, VARINT.
+# ------------------------------------------------------------------
+_TYPE_DENY = {
+    "HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
+    "VARINT", "BIT", "INTERVAL", "UUID", "ENUM", "UNION", "TIMETZ",
+}
+_TYPE_ALLOW = {
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "DECIMAL", "VARCHAR", "BLOB",
+    "DATE", "TIMESTAMP", "WITH", "TIME", "ZONE",  # TIMESTAMP WITH TIME ZONE
+    "STRUCT", "MAP",
+}
+
+
+def oracle_type_violations(cols: list[str], types: list) -> list[str]:
+    """Columns whose DuckDB type Spark cannot emit (nested types are
+    scanned through their string form, so a HUGEINT buried in a STRUCT
+    or LIST is caught too). Returns human-readable violations."""
+    import re as _re  # noqa: PLC0415
+
+    out = []
+    for col, typ in zip(cols, types):
+        s = str(typ)
+        toks = _re.findall(r"[A-Z][A-Z_]*", s)
+        bad = sorted(
+            {t for t in toks if t in _TYPE_DENY or t not in _TYPE_ALLOW}
+        )
+        for m in _re.finditer(r"DECIMAL\((\d+),", s):
+            if int(m.group(1)) > 38:
+                bad.append(f"DECIMAL>{38}")
+        # "TIME"/"WITH"/"ZONE" are allowed only as parts of
+        # "TIMESTAMP WITH TIME ZONE" — a bare TIME column is not.
+        if s == "TIME":
+            bad.append("TIME")
+        if bad:
+            out.append(f"{col}: {s} (disallowed: {bad})")
+    return out
 
 
 def _canon(v) -> str:
@@ -78,9 +134,16 @@ def check(name: str, sf_dir: str, spark, con) -> dict:
         result["status"] = "ROWS_ONLY" if len(srows) >= 0 else "FAIL"
         return result
 
-    cur = con.execute(oracle)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    rel = con.sql(oracle)
+    ocols = list(rel.columns)
+    # Type gate FIRST — before values are fetched and HUGEINT collapses
+    # into an indistinguishable Python int (the round-4 failure mode).
+    viol = oracle_type_violations(ocols, list(rel.types))
+    if viol:
+        result["status"] = "ORACLE_TYPE"
+        result["detail"] = "; ".join(viol)
+        return result
+    orows = rel.fetchall()
     result["oracle_rows"] = len(orows)
 
     if sorted(scols) != sorted(ocols):
