@@ -41,7 +41,12 @@ from pipeline_airflow_docker_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family (scan+filter, agg, joins of
 # each shape, window, top-k, set ops, functions, UDF boundary), plus
 # the LLM-pipeline north-star path (minhash dedup, chunking, ANN).
-# Kept stable across rounds so BENCH_r{N}.json is comparable.
+# The KEY LIST is kept stable across rounds; the per-key VALUE
+# definition changed in round 4 (median-of-3 -> min-of-5 after warmup,
+# concurrent with moving spark.local.dir to /dev/shm), so "value" /
+# "queries" in BENCH_r04+ are NOT directly comparable to earlier
+# rounds' medians — round-over-round comparisons must use
+# "queries_median" against prior rounds' medians, on the shared keys.
 HEADLINE = [
     "q_agg_group",       # grouped multi-aggregate (flagship, TPC-H Q1 shape)
     "q_filter_pred",     # pushdown filter scan

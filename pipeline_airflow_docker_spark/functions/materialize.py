@@ -53,8 +53,15 @@ _SCRATCH_ROOT: str | None = None
 _ROOT_IS_OURS = False  # created via mkdtemp (sweep whole root at exit)
 
 # DataFrame -> ("disk_persist", None) | ("parquet_scratch", path).
-# Weak keys: a DataFrame the caller dropped needs no explicit release —
-# Spark's ContextCleaner / the atexit sweep reclaim its storage.
+# Weak keys bound this dict's own growth, but dropping the Python
+# object does NOT free the storage for every mode: local_checkpoint
+# RDDs are reclaimed by Spark's ContextCleaner on collection, and the
+# atexit sweep removes scratch parquet — but a disk_persist entry
+# lives in the JVM CacheManager keyed by the LOGICAL PLAN and survives
+# until an explicit unpersist() or session stop. Iterative/looping
+# callers of that mode must call release() on superseded results
+# (operators/graph.py shows the pattern: truncate the final result's
+# lineage, then release the pinned input).
 _LIVE: "weakref.WeakKeyDictionary[DataFrame, tuple[str, str | None]]" = (
     weakref.WeakKeyDictionary()
 )
@@ -128,7 +135,9 @@ def release(df: DataFrame) -> None:
     consumer will read again (e.g. the previous round's labels in an
     iterative loop). Safe on any DataFrame: non-materialized inputs
     and ``local_checkpoint`` results are a no-op (the ContextCleaner
-    reclaims checkpointed RDDs when the object is collected)."""
+    reclaims checkpointed RDDs when the object is collected). For
+    ``disk_persist`` results this call is NOT optional in loops — the
+    JVM-side cache entry outlives the Python object (see _LIVE note)."""
     mode_path = _LIVE.pop(df, None)
     if mode_path is None:
         return

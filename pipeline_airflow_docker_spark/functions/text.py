@@ -125,7 +125,14 @@ def int_shingles(ih: Column, n: int = 3) -> Column:
     ``token_hashes(...)`` expression: Catalyst duplicates an inline
     subexpression into every ``try_element_at`` access inside the
     lambda, re-computing the full md5 array n times per shingle
-    (measured 10× end-to-end on the shingle build)."""
+    (measured 10× end-to-end on the shingle build).
+
+    A NULL input array yields NULL, not a shingle set: without the
+    guard, ``size(NULL)`` is NULL, ``greatest(NULL, 1)`` is 1, and
+    every windowed read coalesces to 0 — so ALL NULL-text documents
+    would share the constant shingle set ``{0}``, collide in every LSH
+    band, AND verify against each other at Jaccard 1.0 (unknown text
+    silently classified as duplicate text, quadratically)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(ih) - F.lit(n - 1), F.lit(1)))
 
     def one(i: Column) -> Column:
@@ -138,7 +145,7 @@ def int_shingles(ih: Column, n: int = 3) -> Column:
             h = (h * F.lit(SHINGLE_P) + tok) % F.lit(MINHASH_M)
         return h
 
-    return F.transform(idx, one)
+    return F.when(ih.isNull(), F.lit(None)).otherwise(F.transform(idx, one))
 
 
 def minhash_signature_int(shingle_set: Column, n_hashes: int = 8) -> Column:
@@ -167,19 +174,29 @@ def band_keys_int(
     signature: Column, n_bands: int = 4, rows_per_band: int = 2
 ) -> Column:
     """LSH banding over an integer signature: the band key joins
-    ``rows_per_band`` adjacent signature values with ``_``."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda j: F.concat_ws(
-            "_",
-            *[
+    ``rows_per_band`` adjacent signature values with ``_``.
+
+    NULL-propagating ``concat`` on purpose, NOT ``concat_ws``: a
+    document with a NULL token array (NULL text) carries a signature
+    of NULLs, and ``concat_ws`` skips NULLs — every such document
+    would collapse onto the same empty-string key in EVERY band,
+    manufacturing O(k^2) LSH candidate pairs that the Jaccard verify
+    only discards later. With ``concat`` the degenerate key is NULL
+    and never equi-joins at all."""
+
+    def one_band(j: Column) -> Column:
+        parts: list[Column] = []
+        for r in range(rows_per_band):
+            if r:
+                parts.append(F.lit("_"))
+            parts.append(
                 F.element_at(
                     signature, j * F.lit(rows_per_band) + F.lit(r + 1)
                 ).cast("string")
-                for r in range(rows_per_band)
-            ],
-        ),
-    )
+            )
+        return F.concat(*parts)
+
+    return F.transform(F.sequence(F.lit(0), F.lit(n_bands - 1)), one_band)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -262,16 +262,22 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # ±1 vote sum > 0). The explode/groupBy pair adds one keyed
     # shuffle, but partial aggregation collapses each document's rows
     # map-side, so only ~1 row per (doc, partition) ships.
+    # explode_outer, not explode: a NULL text yields a NULL token-hash
+    # array, and plain explode would emit NO rows for it — the document
+    # silently vanishing from the output (a cardinality contract
+    # change; the fold-based simhash32 returns one row with a NULL
+    # hash). explode_outer keeps one (id, NULL) row; the non-null
+    # count __nv below routes such docs to a NULL simhash.
     ex = (
         _spread(df)
         .select(
             F.col(id_col).alias("id"),
             token_hashes32(tokens(text_col)).alias("__ih32"),
         )
-        .select("id", F.explode("__ih32").alias("__v"))
+        .select("id", F.explode_outer("__ih32").alias("__v"))
     )
     cnts = ex.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.count("__v").alias("__n"),
         *[
             F.sum(F.shiftright("__v", 31 - b) % 2).alias(f"__b{b}")
             for b in range(32)
@@ -283,7 +289,13 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             2 * F.col(f"__b{b}") > F.col("__n"), F.lit(1 << b)
         ).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    return cnts.select("id", simhash.cast("long").alias("simhash"))
+    return cnts.select(
+        "id",
+        F.when(F.col("__n") == 0, F.lit(None))
+        .otherwise(simhash)
+        .cast("long")
+        .alias("simhash"),
+    )
 
 
 def simhash_dup_pairs(

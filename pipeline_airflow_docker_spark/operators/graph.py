@@ -115,7 +115,19 @@ def pagerank_fixed_point(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = materialize(ranks, truncate=True)
             release(prev)
-    return ranks.select("node", "deg", "rank_fp")
+    # The returned plan must not depend on the pinned edge list, or the
+    # pin could never be released: a DISK_ONLY persist() registers in
+    # the JVM CacheManager keyed by the logical plan and survives until
+    # an explicit unpersist — a session running pagerank over many edge
+    # lists would accumulate disk-cache entries forever (and a bench
+    # warmup's cache would leak into the timed reps). Materialize the
+    # node-scale result with fresh lineage (cheap: O(nodes), not
+    # O(edges)), then release the edge pin before returning.
+    prev = ranks
+    ranks = materialize(ranks.select("node", "deg", "rank_fp"), truncate=True)
+    release(prev)
+    release(edges)
+    return ranks
 
 
 __all__ = ["pagerank_fixed_point", "symmetrize"]

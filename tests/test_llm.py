@@ -62,6 +62,50 @@ def test_simhash_near_identical_docs_have_low_hamming(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 5), f"simhash missed: {missed}"
 
 
+def test_null_text_docs_never_join_and_never_vanish(spark):
+    """Degenerate (NULL-text) documents: the LSH band key must be NULL
+    (concat_ws would collapse every such doc onto ONE empty-string
+    bucket in every band — O(k^2) candidate pairs discarded only at
+    the Jaccard verify), and simhash_docs must keep one output row per
+    input doc with a NULL hash (explode alone would silently drop the
+    doc — a cardinality contract change)."""
+    from pipeline_airflow_docker_spark.functions.text import (
+        band_keys_int,
+        int_shingles,
+        minhash_signature_int,
+        token_hashes,
+        tokens,
+    )
+    from pipeline_airflow_docker_spark.operators.dedup import simhash_docs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, None), (4, "")],
+        "doc_id LONG, text STRING",
+    )
+    sig = df.select(
+        "doc_id",
+        token_hashes(tokens("text")).alias("ih"),
+    ).select(
+        "doc_id",
+        band_keys_int(
+            minhash_signature_int(
+                F.array_distinct(int_shingles(F.col("ih"), 3))
+            )
+        ).alias("bands"),
+    )
+    rows = {r.doc_id: r.bands for r in sig.collect()}
+    for null_doc in (2, 3):
+        assert rows[null_doc] is None or all(
+            b is None for b in rows[null_doc]
+        ), f"doc {null_doc} got joinable band keys: {rows[null_doc]}"
+    assert all(b is not None for b in rows[1])
+
+    sh = {r.id: r.simhash for r in simhash_docs(df, "doc_id", "text").collect()}
+    assert set(sh) == {1, 2, 3, 4}, "every input doc must produce a row"
+    assert sh[2] is None and sh[3] is None
+    assert sh[1] is not None and sh[4] is not None  # '' splits to ['']
+
+
 def test_dedup_exact_is_deterministic_keep_first(spark):
     df = spark.createDataFrame(
         [(3, "x"), (1, "x"), (2, "x"), (7, "y")], "id LONG, text STRING"

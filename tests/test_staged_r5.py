@@ -157,6 +157,31 @@ def test_pagerank_uniform_on_regular_graph(spark):
     assert len(set(ranks.values())) == 1  # regular graph => equal ranks
 
 
+def test_pagerank_releases_its_edge_pin(spark, monkeypatch):
+    """pagerank pins the edge list (disk_persist by default); a
+    DISK_ONLY persist lives in the JVM CacheManager keyed by the
+    logical plan until explicitly unpersisted, so the operator must
+    release it before returning — a long-lived session running
+    pagerank over many edge lists must not accumulate cache entries
+    (and bench reps must not inherit the warmup's cache)."""
+    from pipeline_airflow_docker_spark.operators.graph import (
+        pagerank_fixed_point,
+        symmetrize,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE", raising=False)
+    spark.catalog.clearCache()
+    ring = spark.createDataFrame(
+        [(str(i), str((i + 1) % 6)) for i in range(6)], ["src", "dst"]
+    )
+    out = pagerank_fixed_point(symmetrize(ring), iterations=2)
+    assert out.count() == 6
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty(), "pagerank leaked a persisted DataFrame"
+    # and the result must still be readable after the pin is gone
+    assert out.count() == 6
+
+
 # ------------------------- sampling / caps --------------------------
 
 
