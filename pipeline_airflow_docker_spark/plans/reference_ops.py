@@ -253,8 +253,20 @@ def q_nest_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_roundtrip",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k,
-           '{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR) || '}' AS value
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract(props, '$.k') AS INT) END AS k,
+           -- from_json's degenerate ladder, mirrored exactly (probed):
+           -- NULL/empty input -> NULL; malformed or missing/uncastable
+           -- k -> '{}' (to_json drops null fields); valid int -> kv.
+           CASE
+             WHEN props IS NULL OR trim(props) = '' THEN NULL
+             WHEN json_valid(props)
+                  AND TRY_CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+               THEN '{"k":'
+                    || CAST(TRY_CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)
+                    || '}'
+             ELSE '{}'
+           END AS value
     FROM events
     """,
 )

@@ -723,8 +723,10 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_json",
     oracle="""
     SELECT event_id,
-           CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k,
-           CAST(JSON_EXTRACT(props, '$.k') AS INT) % 10 AS k_bucket,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) END AS k,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) % 10 END AS k_bucket,
            CAST(LENGTH(props) AS INT) AS props_len
     FROM events
     """,
@@ -776,9 +778,12 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     UNION ALL
     SELECT event_id, 'type', event_type FROM events
+    WHERE event_type IS NOT NULL
     UNION ALL
     SELECT e.event_id, k.key, json_extract_string(e.props, '$.' || k.key)
-    FROM events e, unnest(json_keys(e.props)) k(key)
+    FROM (SELECT event_id, props FROM events WHERE json_valid(props)) e,
+         unnest(json_keys(e.props)) k(key)
+    WHERE json_extract_string(e.props, '$.' || k.key) IS NOT NULL
     """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,7 +792,13 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("day"), F.to_date("ts").cast("string"),
         F.lit("type"), F.col("event_type"),
     )
-    parsed = F.from_json("props", "map<string,string>")
+    # Malformed/NULL props parse to a NULL map, and map_concat with a
+    # NULL operand is NULL — which would drop the BUILT entries too.
+    # Coalesce to the empty map: bad props lose only their own entries.
+    parsed = F.coalesce(
+        F.from_json("props", "map<string,string>"),
+        F.from_json(F.lit("{}"), "map<string,string>"),
+    )
     merged = F.map_filter(
         F.map_concat(built, parsed), lambda k, v: v.isNotNull()
     )
@@ -1362,16 +1373,22 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_variant",
     oracle="""
     SELECT event_id,
-           CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k,
-           CAST(JSON_EXTRACT(props, '$.k') AS INT) >= 50 AS k_high,
+           TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k,
+           TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) >= 50 AS k_high,
            upper(event_type) AS event_type_u
     FROM events
-    WHERE CAST(JSON_EXTRACT(props, '$.k') AS INT) % 2 = 0
+    WHERE json_valid(props)
+      AND TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) % 2 = 0
     """,
 )
 def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    # try_parse_json: malformed/NULL props -> NULL VARIANT (parse_json
+    # FAILFASTs the whole job on the first bad record — unusable on
+    # real corpora); try_variant_get: uncastable values (a string k)
+    # -> NULL instead of INVALID_VARIANT_CAST. NULL k rows then drop at
+    # the even-k filter, mirroring the oracle's TRY_CAST.
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
     return (
         e.select(
             "event_id",

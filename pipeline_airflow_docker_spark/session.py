@@ -32,6 +32,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # ANSI off: permissive casts match the reference's pandas semantics.
     "spark.sql.ansi.enabled": "false",
+    # ...but NOT the legacy size(NULL) = -1 that non-ANSI mode drags
+    # in: a -1 "size" silently poisons every token count, ratio, and
+    # chunk index computed over a NULL array (the degenerate-data gate
+    # caught -1 token counts in nine text qkeys). size(NULL) = NULL
+    # matches DuckDB len(NULL) and SQL NULL propagation.
+    "spark.sql.legacy.sizeOfNull": "false",
     # WITH RECURSIVE safety valve: the default (1M rows) is sized for
     # toy data — an acyclic hierarchy walk over a 10-scale fact set
     # legitimately produces tens of millions of rows. Cycle protection
