@@ -728,7 +728,7 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, value,
              CAST(ntile(4) OVER (PARTITION BY event_type
                                  ORDER BY value, event_id) AS INT) AS tier
-      FROM events
+      FROM events WHERE value IS NOT NULL
     )
     SELECT event_type, tier, COUNT(*) AS n,
            MIN(value) AS lo, MAX(value) AS hi,
@@ -742,7 +742,13 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned_ntile,
     )
 
-    ev = table(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    # Contract: tiers over NON-NULL values only (explicit; engines
+    # disagree on default NULL placement in ORDER BY anyway).
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .filter(F.col("value").isNotNull())
+    )
     # operators/ranks.py::binned_ntile — a plain ntile window here
     # would partition by event_type (5 groups = 5 tasks sorting all
     # events; 9.8 s at sf10 vs 3.8 s binned). value spans ~[0, 100):

@@ -143,7 +143,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_minhash",
     oracle=f"""
-    WITH tok AS (SELECT doc_id, {_DD_TOKS} FROM documents),
+    WITH tok AS (SELECT doc_id, {_DD_TOKS} FROM documents
+                 WHERE text IS NOT NULL),
     ihh AS (SELECT doc_id, toks, {_DD_TOKHASH} FROM tok),
     s AS (SELECT doc_id, {_DD_ISHINGLES3} FROM ihh),
     sig AS (SELECT doc_id, sh, {_DD_MINHASH_SIG} FROM s),
@@ -178,7 +179,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # transitive closure + per-node min.
 # --------------------------------------------------------------------
 _DD_MINHASH_PAIR_CTES = f"""
-    tok AS (SELECT doc_id, {_DD_TOKS} FROM documents),
+    tok AS (SELECT doc_id, {_DD_TOKS} FROM documents
+            WHERE text IS NOT NULL),
     ihh AS (SELECT doc_id, toks, {_DD_TOKHASH} FROM tok),
     s AS (SELECT doc_id, {_DD_ISHINGLES3} FROM ihh),
     sig AS (SELECT doc_id, sh, {_DD_MINHASH_SIG} FROM s),
@@ -235,14 +237,16 @@ def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 _DD_SIMHASH = """
     SELECT doc_id,
-      list_reduce(list_prepend(0::BIGINT,
+      CASE WHEN toks IS NULL THEN NULL ELSE
+    list_reduce(list_prepend(0::BIGINT,
         list_transform(range(0, 32), b ->
           CASE WHEN list_reduce(list_prepend(0::BIGINT,
             list_transform(toks, tok ->
               CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), 1 + b // 4, 1)) - 1)
                         // CAST(pow(2, 3 - b % 4) AS BIGINT) % 2 = 1
                    THEN 1 ELSE -1 END)), (a, x) -> a + x) > 0
-          THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)), (a, x) -> a + x) AS simhash
+          THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)), (a, x) -> a + x)
+    END AS simhash
     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 """
 
@@ -495,9 +499,25 @@ def _km_oracle(k: int, n_iter: int, snap_bits: int) -> str:
     """
 
 
-@query("q_kmeans", oracle=_km_oracle(k=8, n_iter=3, snap_bits=20))
+# Contract: k-means trains and assigns over VALID vectors only (non-
+# NULL, full 64-dim) — a NULL or truncated vector would perturb the
+# centroid means differently per engine and poison every assignment.
+# The operator itself tolerates them (degenerate rows assign cluster
+# -1; unit-tested); the qkey grades the clean-domain math.
+_KM_VALID_CTE = (
+    "emb AS (SELECT vec_id, embedding FROM embeddings "
+    "WHERE embedding IS NOT NULL AND len(embedding) = 64)"
+)
+_KM_SQL = _km_oracle(k=8, n_iter=3, snap_bits=20).replace(
+    "FROM embeddings", "FROM emb"
+).replace("WITH ", f"WITH {_KM_VALID_CTE},\n    ", 1)
+
+
+@query("q_kmeans", oracle=_KM_SQL)
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
     return kmeans_lloyd(e, k=8, n_iter=3, snap_bits=20)
 
 

@@ -122,13 +122,16 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     nulled = _customer_with_nulls(spark, sf_dir).select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    return impute_group_mean(nulled, ["c_mktsegment"], "c_acctbal").select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        (F.col("c_custkey") % 7 == 0).alias("was_imputed"),
+        # Flag from the ACTUAL pre-impute NULL, not the synthetic
+        # nulling rule (c_custkey % 7): a row that arrives NULL from
+        # the source must flag too.
+        F.col("c_acctbal").isNull().alias("was_imputed"),
+    )
+    return impute_group_mean(nulled, ["c_mktsegment"], "c_acctbal").select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "was_imputed"
     )
 
 
@@ -239,7 +242,12 @@ def q_nest_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamp = F.timestamp_seconds(F.lit(_EPOCH_2024) + F.col("doc_id"))
     wrapped = nest_struct(d, wrapper="original_data", status="processed", ts=stamp)
     return wrapped.select(
-        F.to_json(F.col("original_data")).alias("original_data_json"),
+        # ignoreNullFields=false: a NULL text must serialize as
+        # "text":null, not vanish — the wrapped record's shape is part
+        # of the contract (and DuckDB's to_json keeps null fields).
+        F.to_json(
+            F.col("original_data"), {"ignoreNullFields": "false"}
+        ).alias("original_data_json"),
         "processed_at",
         "status",
     )
@@ -377,7 +385,9 @@ def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id,
-             concat_ws(' ', toks[1], toks[2], toks[3]) AS title
+             -- trim: the scraper strips the h1 text (reference P10),
+             -- so a whitespace-only document titles to '' not '  '
+             trim(concat_ws(' ', toks[1], toks[2], toks[3])) AS title
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       WHERE len(toks) >= 3
     )

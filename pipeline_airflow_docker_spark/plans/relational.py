@@ -30,19 +30,34 @@ from pipeline_airflow_docker_spark.plans.registry import query
 # billions of rows to 6 groups per task before the shuffle.
 # --------------------------------------------------------------------
 
+# Two cross-engine cliffs pinned here (this SQL text runs on BOTH
+# engines via q_sql_entry):
+# 1. (1±x) factors NARROWED to DECIMAL(8,4): with both factors at
+#    (18,4) the three-way product exceeds 38 digits and the engines
+#    degrade differently; at (18,4)x(8,4)x(8,4) it is 34-36 digits —
+#    EXACT decimal end-to-end in both.
+# 2. decimal -> double goes through a STRING round-trip: DuckDB's
+#    int128-decimal -> DOUBLE cast divides in floating point and is
+#    NOT correctly rounded (observed 4e-9 off on sum_charge at
+#    sf0.001), while decimal -> string -> double is correctly
+#    rounded in both engines (same trick as the decimal-moment keys).
 _PRICING_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-           * (1 - CAST(l_discount AS DECIMAL(18,4)))
-           * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4)))
+            AS STRING) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))
+               * CAST(1 + CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(8,4)))
+            AS STRING) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+    / COUNT(l_quantity) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+    / COUNT(l_discount) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -54,8 +69,12 @@ ORDER BY l_returnflag, l_linestatus
 @query("q_agg_group", oracle=_PRICING_SQL)
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
-    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    # (1±x) factors at DECIMAL(8,4) keep every product within 38
+    # digits — exact decimal on both engines (see _PRICING_SQL note).
+    disc_price = dec("l_extendedprice") * (
+        F.lit(1) - dec("l_discount")
+    ).cast("decimal(8,4)")
+    charge = disc_price * (F.lit(1) + dec("l_tax")).cast("decimal(8,4)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -1120,7 +1139,10 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_quantity, 0.50), 6) AS p50_exact,
-           TRUE AS approx_ok
+           -- a group with no non-NULL values has no percentile and no
+           -- tolerance verdict (Spark's |approx-exact| test is NULL)
+           CASE WHEN quantile_cont(l_quantity, 0.50) IS NULL
+                THEN NULL ELSE TRUE END AS approx_ok
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -1241,7 +1263,8 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY g.user_id ORDER BY g.bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS ffill_total
-    FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+    FROM grid g LEFT JOIN hourly h
+      ON g.user_id IS NOT DISTINCT FROM h.user_id AND g.bucket = h.bucket
     """,
 )
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1585,6 +1608,7 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    RANGE BETWEEN CURRENT ROW AND CURRENT ROW) - 1
                   AS DECIMAL(19,0)) AS ry
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ),
     m AS (
       SELECT l_returnflag, COUNT(*) AS n,
@@ -1608,8 +1632,15 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         scaled_rank_by_value,
     )
 
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_quantity", "l_extendedprice"
+    # Contract: correlation over rows where BOTH measures are non-NULL
+    # (pairwise deletion — a NULL has no rank on either axis).
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
     )
     # A plain rank() window would partition by l_returnflag (3 groups
     # = 3 tasks sorting the whole fact table; measured 97 s at sf10 vs
@@ -1671,7 +1702,7 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_returnflag, l_quantity,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
              count(*) OVER (PARTITION BY l_returnflag) AS n
-      FROM lineitem
+      FROM lineitem WHERE l_quantity IS NOT NULL
     ),
     withmed AS (
       SELECT l_returnflag, l_quantity, n,
@@ -1696,7 +1727,14 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         kth_value_by_counts,
     )
 
-    li = table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    # Contract: rank statistics are over NON-NULL measures (a NULL
+    # quantity has no rank; a group with zero valid measures has no
+    # median row). Explicit on both engines.
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity")
+        .filter(F.col("l_quantity").isNotNull())
+    )
     # l_quantity is DOMAIN-BOUNDED (~50 distinct integers), and so is
     # |l_quantity - median| — so both medians are read off tiny
     # (flag, distinct-value) count tables

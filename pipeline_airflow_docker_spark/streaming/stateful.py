@@ -48,11 +48,17 @@ def running_totals(
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
-        n, mx = state.get if state.exists else (0, float("-inf"))
+        # mx is None until the key has seen a NON-NULL value: pandas
+        # .max() over an all-NULL batch is NaN, and seeding with -inf
+        # leaks -inf into the output where SQL MAX(value) is NULL.
+        # n counts ROWS (COUNT(*) semantics), NULL values included.
+        n, mx = state.get if state.exists else (0, None)
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf):
-                mx = max(mx, float(pdf[value_col].max()))
+            vals = pdf[value_col].dropna()
+            if len(vals):
+                m = float(vals.max())
+                mx = m if mx is None else max(mx, m)
         state.update((n, mx))
         yield pd.DataFrame(
             {key_col: [key[0]], "n_so_far": [n], "max_so_far": [mx]}
@@ -99,11 +105,14 @@ def running_totals_tws(
             self._state = handle.getValueState("totals", _STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):  # noqa: N802
-            n, mx = self._state.get() if self._state.exists() else (0, float("-inf"))
+            # Same NULL contract as running_totals above.
+            n, mx = self._state.get() if self._state.exists() else (0, None)
             for pdf in rows:
                 n += len(pdf)
-                if len(pdf):
-                    mx = max(mx, float(pdf[value_col].max()))
+                vals = pdf[value_col].dropna()
+                if len(vals):
+                    m = float(vals.max())
+                    mx = m if mx is None else max(mx, m)
             self._state.update((n, mx))
             yield pd.DataFrame(
                 {key_col: [key[0]], "n_so_far": [n], "max_so_far": [mx]}

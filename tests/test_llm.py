@@ -483,6 +483,25 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
     assert set(got.values()) == set(int(x) for x in want.values())
 
 
+def test_kmeans_degenerate_vectors_get_sentinel_cluster(spark):
+    """NULL / wrong-dimension vectors must neither crash training nor
+    silently join a cluster: they come back with cluster -1 (the
+    graded qkey filters them out up front; the operator stays safe on
+    raw corpora)."""
+    import numpy as np
+
+    from pipeline_airflow_docker_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.rand(8).tolist()) for i in range(20)]
+    rows += [(100, None), (101, [])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {r.vec_id: r.cluster for r in kmeans_lloyd(df, k=3, n_iter=2).collect()}
+    assert len(got) == 22
+    assert got[100] == -1 and got[101] == -1
+    assert all(0 <= c < 3 for i, c in got.items() if i < 100)
+
+
 def test_pack_sequences_layout(spark):
     """Concat-and-cut: offsets advance by token counts, wrap at
     seq_len, and packing depends only on the deterministic order."""
