@@ -79,8 +79,17 @@ def pagerank_fixed_point(
     # explicit SPARK_GRAFT_MATERIALIZE still overrides.
     import os  # noqa: PLC0415
 
+    # Pin the edge list PRE-PARTITIONED on src: the persisted plan's
+    # outputPartitioning (hashpartitioning(src)) then satisfies both
+    # the degree aggregate and EVERY iteration's contribution join, so
+    # only the (node-scale) ranks side shuffles per round — without
+    # this, the identical fact-scale edge list re-exchanges every
+    # iteration. Survives local_checkpoint and disk_persist (cached
+    # plans carry partitioning); parquet_scratch re-reads lose it,
+    # which costs the exchange back but stays correct.
     edges = materialize(
-        edges, how=os.environ.get("SPARK_GRAFT_MATERIALIZE", "disk_persist")
+        edges.repartition(F.col("src")),
+        how=os.environ.get("SPARK_GRAFT_MATERIALIZE", "disk_persist"),
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")

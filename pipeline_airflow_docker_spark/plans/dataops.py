@@ -138,7 +138,11 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_linestatus) AS INT) AS g_ls
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+HAVING COUNT(*) > 0
 """
+# ^ HAVING: Spark emits NO rows for grouping sets over an EMPTY
+# relation while DuckDB emits the () grand-total row; this SQL runs on
+# BOTH engines, and the clause is a no-op on any non-empty input.
 
 
 @query("q_grouping_sets", oracle=_GROUPING_SETS_SQL)

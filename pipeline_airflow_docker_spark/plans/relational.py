@@ -435,6 +435,11 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark emits NO rows for grouping sets over an EMPTY relation
+    -- (standard SQL and DuckDB emit the () grand-total row); the
+    -- HAVING mirrors Spark's contract and is a no-op on any
+    -- non-empty input.
+    HAVING COUNT(*) > 0
     ORDER BY gid, l_returnflag, l_linestatus
     """,
 )
@@ -468,6 +473,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- empty-relation contract: see q_agg_rollup
+    HAVING COUNT(*) > 0
     ORDER BY gid, o_orderstatus, o_orderpriority
     """,
 )

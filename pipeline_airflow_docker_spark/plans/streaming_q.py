@@ -320,6 +320,15 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:
+        # Empty source: there is no max ts to anchor the watermark
+        # flush sentinels on, and nothing to join — the result is the
+        # empty relation with the output schema.
+        return spark.createDataFrame(
+            [],
+            "click_id BIGINT, purchase_id BIGINT, user_id BIGINT, "
+            "click_ts TIMESTAMP, purchase_ts TIMESTAMP",
+        )
 
     def sentinels(hours: int, base_id: int) -> DataFrame:
         ts = max_ts + timedelta(hours=hours)
@@ -401,6 +410,14 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    if hi is None:
+        # Empty source (see q_stream_join_outer): empty result, output
+        # schema preserved.
+        return spark.createDataFrame(
+            [],
+            "window_start TIMESTAMP, event_type STRING, "
+            "n_events BIGINT, sum_value DOUBLE",
+        )
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     bulk = ev.filter(F.col("ts") < F.lit(hi))
     held_out = ev.filter(F.col("ts") == F.lit(hi))

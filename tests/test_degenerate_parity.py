@@ -75,3 +75,42 @@ def degen_con(degen_dir):
 def test_degenerate_parity(key, spark, degen_dir, degen_con):
     r = check_parity.check(key, degen_dir, spark, degen_con)
     assert r["status"] in ("OK", "ROWS_ONLY"), r
+
+
+# Empty-corpus fixture (pipeline-first-run state). One representative
+# per zero-row failure family found by the round-5 sweep:
+EMPTY_KEYS = [
+    "q_agg_rollup",        # Spark emits no grand-total row on empty
+    "q_grouping_sets",     # same contract through the shared SQL text
+    "q_stream_late_drop",  # choreography anchored on min/max ts
+    "q_agg_group",         # plain grouped agg: 0 rows both engines
+    "q_dedup_minhash",     # LSH over an empty corpus
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("empty"))
+    sys.argv, argv = ["gen", "--out", out, "--mode", "empty"], sys.argv
+    try:
+        gen_degenerate_data.main()
+    finally:
+        sys.argv = argv
+    return out
+
+
+@pytest.fixture(scope="module")
+def empty_con(empty_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{empty_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("key", EMPTY_KEYS)
+def test_empty_corpus_parity(key, spark, empty_dir, empty_con):
+    r = check_parity.check(key, empty_dir, spark, empty_con)
+    assert r["status"] in ("OK", "ROWS_ONLY"), r

@@ -136,14 +136,25 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.001")
     ap.add_argument("--out", default="/root/repo/.benchdata/degen")
+    ap.add_argument(
+        "--mode",
+        choices=("degen", "empty"),
+        default="degen",
+        help="degen = base + adversarial rows; empty = every table at "
+        "ZERO rows (the pipeline-first-run state — zero-row edges: "
+        "grouping-sets grand totals, min/max-anchored choreography)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
         base = f"SELECT * FROM read_parquet('{args.base}/{t}.parquet')"
-        extra = DEGENERATE_SQL.get(t)
-        sql = base if extra is None else f"{base} UNION ALL {extra}"
+        if args.mode == "empty":
+            sql = f"{base} LIMIT 0"
+        else:
+            extra = DEGENERATE_SQL.get(t)
+            sql = base if extra is None else f"{base} UNION ALL {extra}"
         out_path = os.path.join(args.out, f"{t}.parquet")
         con.execute(f"COPY ({sql}) TO '{out_path}' (FORMAT PARQUET)")
         # Type fidelity: the degenerate block must not widen any column.
