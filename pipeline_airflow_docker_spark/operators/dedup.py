@@ -375,7 +375,13 @@ def resolve_components(
         )
         .dropDuplicates(["src", "dst"])
     )
-    edges = materialize(edges, truncate=True)
+    # Pin the edge list pre-partitioned on src (the per-round join
+    # key): a cached plan preserves its outputPartitioning, so every
+    # propagation round's join exchanges only the label side instead
+    # of re-shuffling the identical edge list (the pagerank trick,
+    # operators/graph.py; lost under parquet_scratch re-reads, which
+    # costs the exchange back but stays correct).
+    edges = materialize(edges.repartition(F.col("src")), truncate=True)
     labels = materialize(nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ), truncate=True)
