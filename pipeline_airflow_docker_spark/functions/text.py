@@ -49,8 +49,17 @@ def shingles(toks: Column, n: int = 3) -> Column:
     """Overlapping word n-grams joined by a single space. Documents
     shorter than ``n`` tokens yield one shingle of all their tokens
     (out-of-range element_at is null; concat_ws skips nulls — matching
-    DuckDB list indexing + concat_ws)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    DuckDB list indexing + concat_ws).
+
+    A NULL token array yields NULL (same guard and same reasoning as
+    :func:`int_shingles`: without it, ``greatest(NULL, 1)`` clamps to
+    one window and every NULL-text document emits the constant shingle
+    ``['']`` — polluting gram counts and pairing NULL docs with each
+    other at Jaccard 1.0 in the n-gram dedup path). The guard is in
+    the sequence bound, never wrapped around the transform (perf —
+    see int_shingles)."""
+    upper = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.when(upper < 1, F.lit(1)).otherwise(upper))
     return F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -267,7 +267,7 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # silently vanishing from the output (a cardinality contract
     # change; the fold-based simhash32 returns one row with a NULL
     # hash). explode_outer keeps one (id, NULL) row; the non-null
-    # count __nv below routes such docs to a NULL simhash.
+    # count __n below routes such docs to a NULL simhash.
     ex = (
         _spread(df)
         .select(

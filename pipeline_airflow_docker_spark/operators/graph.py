@@ -101,6 +101,11 @@ def pagerank_fixed_point(
         .select("node", "deg", base.alias("base"), base.alias("rank_fp"))
     )
     keep_pct = 100 - damping_pct
+    # pinned = the LAST materialize() result (release() frees only
+    # objects materialize() itself returned — releasing a lazy plan
+    # built on top of one is a no-op, so the superseded checkpoint
+    # must be tracked explicitly, same swap as resolve_components).
+    pinned = None
     for i in range(iterations):
         contrib = (
             ranks.join(edges, ranks["node"] == edges["src"])
@@ -111,7 +116,6 @@ def pagerank_fixed_point(
             .groupBy("node")
             .agg(F.sum("__c").alias("__incoming"))
         )
-        prev = ranks
         ranks = ranks.drop("rank_fp").join(contrib, "node", "left").select(
             "node",
             "deg",
@@ -123,7 +127,9 @@ def pagerank_fixed_point(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = materialize(ranks, truncate=True)
-            release(prev)
+            if pinned is not None:
+                release(pinned)
+            pinned = ranks
     # The returned plan must not depend on the pinned edge list, or the
     # pin could never be released: a DISK_ONLY persist() registers in
     # the JVM CacheManager keyed by the logical plan and survives until
@@ -131,10 +137,10 @@ def pagerank_fixed_point(
     # lists would accumulate disk-cache entries forever (and a bench
     # warmup's cache would leak into the timed reps). Materialize the
     # node-scale result with fresh lineage (cheap: O(nodes), not
-    # O(edges)), then release the edge pin before returning.
-    prev = ranks
+    # O(edges)), then release every pin before returning.
     ranks = materialize(ranks.select("node", "deg", "rank_fp"), truncate=True)
-    release(prev)
+    if pinned is not None:
+        release(pinned)
     release(edges)
     return ranks
 

@@ -118,7 +118,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
       SELECT doc_id, lang, {_DD_SHINGLES3}
-      FROM (SELECT doc_id, lang, {_DD_TOKS} FROM documents)
+      FROM (SELECT doc_id, lang, {_DD_TOKS} FROM documents
+            WHERE text IS NOT NULL)
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -646,11 +647,15 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fingerprint",
     oracle="""
     SELECT doc_id, md5(text) AS content_fp,
+           -- NULL text has no shingles and therefore no rolling
+           -- fingerprint (mirrors shingles()'s NULL guard)
+           CASE WHEN toks IS NULL THEN NULL ELSE
            list_min(list_transform(
              list_transform(range(1, greatest(len(toks)-7, 1)+1),
                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
                               toks[i+4], toks[i+5], toks[i+6], toks[i+7])),
-             s -> md5('0:' || s))) AS rolling_fp
+             s -> md5('0:' || s)))
+           END AS rolling_fp
     FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
     """,
 )
@@ -1204,7 +1209,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_repetition",
     oracle="""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE text IS NOT NULL),
     g AS (
       SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),

@@ -49,31 +49,30 @@ KEYS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def degen_dir(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("degen"))
-    sys.argv, argv = ["gen", "--out", out], sys.argv
+def _build_fixture(tmp_path_factory, mode: str) -> tuple[str, "duckdb.DuckDBPyConnection"]:
+    out = str(tmp_path_factory.mktemp(mode))
+    sys.argv, argv = ["gen", "--out", out, "--mode", mode], sys.argv
     try:
         gen_degenerate_data.main()
     finally:
         sys.argv = argv
-    return out
-
-
-@pytest.fixture(scope="module")
-def degen_con(degen_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * "
-            f"FROM read_parquet('{degen_dir}/{t}.parquet')"
+            f"FROM read_parquet('{out}/{t}.parquet')"
         )
-    return con
+    return out, con
+
+
+@pytest.fixture(scope="module")
+def degen_fixture(tmp_path_factory):
+    return _build_fixture(tmp_path_factory, "degen")
 
 
 @pytest.mark.parametrize("key", KEYS)
-def test_degenerate_parity(key, spark, degen_dir, degen_con):
-    r = check_parity.check(key, degen_dir, spark, degen_con)
+def test_degenerate_parity(key, spark, degen_fixture):
+    r = check_parity.check(key, degen_fixture[0], spark, degen_fixture[1])
     assert r["status"] in ("OK", "ROWS_ONLY"), r
 
 
@@ -89,28 +88,11 @@ EMPTY_KEYS = [
 
 
 @pytest.fixture(scope="module")
-def empty_dir(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("empty"))
-    sys.argv, argv = ["gen", "--out", out, "--mode", "empty"], sys.argv
-    try:
-        gen_degenerate_data.main()
-    finally:
-        sys.argv = argv
-    return out
-
-
-@pytest.fixture(scope="module")
-def empty_con(empty_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * "
-            f"FROM read_parquet('{empty_dir}/{t}.parquet')"
-        )
-    return con
+def empty_fixture(tmp_path_factory):
+    return _build_fixture(tmp_path_factory, "empty")
 
 
 @pytest.mark.parametrize("key", EMPTY_KEYS)
-def test_empty_corpus_parity(key, spark, empty_dir, empty_con):
-    r = check_parity.check(key, empty_dir, spark, empty_con)
+def test_empty_corpus_parity(key, spark, empty_fixture):
+    r = check_parity.check(key, empty_fixture[0], spark, empty_fixture[1])
     assert r["status"] in ("OK", "ROWS_ONLY"), r

@@ -105,6 +105,12 @@ def test_null_text_docs_never_join_and_never_vanish(spark):
     assert sh[2] is None and sh[3] is None
     assert sh[1] is not None and sh[4] is not None  # '' splits to ['']
 
+    # Same invariant on the STRING n-gram path: NULL text must never
+    # become the constant [''] shingle set (it paired every NULL doc
+    # with every NULL/empty doc at Jaccard 1.0).
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == set()
+
 
 def test_dedup_exact_is_deterministic_keep_first(spark):
     df = spark.createDataFrame(

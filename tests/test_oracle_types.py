@@ -79,6 +79,13 @@ def test_gate_catches_the_round4_failure_mode(oracle_con):
         "SELECT CAST(SUM(n_nationkey) AS BIGINT) AS s FROM nation"
     )
     assert not oracle_type_violations(list(rel.columns), list(rel.types))
+    # TIME family: TIMESTAMP WITH TIME ZONE is allowed, but bare TIME,
+    # TIME WITH TIME ZONE, and a TIME nested in a STRUCT are not —
+    # tokenizing the multi-word form must not launder TIME through.
+    assert not oracle_type_violations(["t"], ["TIMESTAMP WITH TIME ZONE"])
+    assert oracle_type_violations(["t"], ["TIME"])
+    assert oracle_type_violations(["t"], ["TIME WITH TIME ZONE"])
+    assert oracle_type_violations(["t"], ["STRUCT(x TIME)"])
 
 
 def test_all_oracles_inside_spark_type_set(oracle_con):

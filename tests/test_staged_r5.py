@@ -169,16 +169,28 @@ def test_pagerank_releases_its_edge_pin(spark, monkeypatch):
         symmetrize,
     )
 
+    from pipeline_airflow_docker_spark.functions import materialize as mat
+
     monkeypatch.delenv("SPARK_GRAFT_MATERIALIZE", raising=False)
     spark.catalog.clearCache()
     ring = spark.createDataFrame(
         [(str(i), str((i + 1) % 6)) for i in range(6)], ["src", "dst"]
     )
-    out = pagerank_fixed_point(symmetrize(ring), iterations=2)
+    scratch_before = len(mat._SCRATCH_PATHS)
+    # checkpoint_every=1 forces an intermediate checkpoint per round:
+    # each must be released when superseded (releasing the lazy plan
+    # built on top of a checkpoint is a no-op — the materialized
+    # object itself must be tracked).
+    out = pagerank_fixed_point(
+        symmetrize(ring), iterations=3, checkpoint_every=1
+    )
     assert out.count() == 6
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
     assert cache_mgr.isEmpty(), "pagerank leaked a persisted DataFrame"
-    # and the result must still be readable after the pin is gone
+    # only the FINAL result's scratch copy may remain (freed at exit);
+    # the three intermediate checkpoints must be gone.
+    assert len(mat._SCRATCH_PATHS) <= scratch_before + 1
+    # and the result must still be readable after the pins are gone
     assert out.count() == 6
 
 

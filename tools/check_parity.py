@@ -51,12 +51,13 @@ from pipeline_airflow_docker_spark.session import get_spark  # noqa: E402
 # ------------------------------------------------------------------
 _TYPE_DENY = {
     "HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
-    "VARINT", "BIT", "INTERVAL", "UUID", "ENUM", "UNION", "TIMETZ",
+    "VARINT", "BIT", "INTERVAL", "UUID", "ENUM", "UNION",
+    "TIME", "TIMETZ", "WITH", "ZONE",
 }
 _TYPE_ALLOW = {
     "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
     "FLOAT", "DOUBLE", "DECIMAL", "VARCHAR", "BLOB",
-    "DATE", "TIMESTAMP", "WITH", "TIME", "ZONE",  # TIMESTAMP WITH TIME ZONE
+    "DATE", "TIMESTAMP", "TIMESTAMPTZ",
     "STRUCT", "MAP",
 }
 
@@ -64,12 +65,18 @@ _TYPE_ALLOW = {
 def oracle_type_violations(cols: list[str], types: list) -> list[str]:
     """Columns whose DuckDB type Spark cannot emit (nested types are
     scanned through their string form, so a HUGEINT buried in a STRUCT
-    or LIST is caught too). Returns human-readable violations."""
+    or LIST is caught too). Returns human-readable violations.
+
+    The multi-word "TIMESTAMP WITH TIME ZONE" is normalized to the
+    single allowed token TIMESTAMPTZ FIRST, so TIME/WITH/ZONE can stay
+    on the denylist — otherwise a bare "TIME WITH TIME ZONE" (or a
+    TIME nested inside a STRUCT) would tokenize into individually
+    allowed words and slip through."""
     import re as _re  # noqa: PLC0415
 
     out = []
     for col, typ in zip(cols, types):
-        s = str(typ)
+        s = str(typ).replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ")
         toks = _re.findall(r"[A-Z][A-Z_]*", s)
         bad = sorted(
             {t for t in toks if t in _TYPE_DENY or t not in _TYPE_ALLOW}
@@ -77,10 +84,6 @@ def oracle_type_violations(cols: list[str], types: list) -> list[str]:
         for m in _re.finditer(r"DECIMAL\((\d+),", s):
             if int(m.group(1)) > 38:
                 bad.append(f"DECIMAL>{38}")
-        # "TIME"/"WITH"/"ZONE" are allowed only as parts of
-        # "TIMESTAMP WITH TIME ZONE" — a bare TIME column is not.
-        if s == "TIME":
-            bad.append("TIME")
         if bad:
             out.append(f"{col}: {s} (disallowed: {bad})")
     return out
@@ -175,8 +178,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        path = os.path.join(args.sf, f"{t}.parquet")
+        # Spark-written tables (e.g. the generated .benchdata scale
+        # factors) are DIRECTORIES of part files; DuckDB needs a glob.
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     spark = get_spark("parity-check")
 

@@ -37,6 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from pipeline_airflow_docker_spark.catalog import TABLES  # noqa: E402
+
 BASE_ID = 900_000
 
 # Per-table degenerate blocks as DuckDB SELECT literals UNIONed onto
@@ -125,12 +127,6 @@ DEGENERATE_SQL: dict[str, str] = {
         ) t(vec_id, embedding, label)
     """,
 }
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
 
 def main() -> int:
     ap = argparse.ArgumentParser()
