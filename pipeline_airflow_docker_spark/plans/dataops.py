@@ -106,8 +106,8 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type,
              COUNT(value) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS mean,
-             CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sumsq
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(value) AS mean,
+             CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS sumsq
       FROM events GROUP BY event_type
     )
     SELECT e.event_type, e.event_id, e.ts, e.user_id, e.value, e.props,
@@ -132,7 +132,7 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n_rows,
        CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
        CAST(GROUPING(l_linestatus) AS INT) AS g_ls
@@ -323,7 +323,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s.s_nationkey,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey ORDER BY s.s_nationkey
     """,
@@ -559,7 +559,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(ts) AS t_end,
            date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
              AS duration_sec,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_idx
     """,
 )
@@ -736,7 +736,7 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, tier, COUNT(*) AS n,
            MIN(value) AS lo, MAX(value) AS hi,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
     FROM t GROUP BY event_type, tier
     """,
 )

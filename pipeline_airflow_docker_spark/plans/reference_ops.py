@@ -106,7 +106,7 @@ def q_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS ({_NULLED_CUSTOMER_SQL}),
     s AS (
       SELECT c_mktsegment,
-             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
                / COUNT(c_acctbal) AS grp_mean
       FROM n GROUP BY c_mktsegment
     )

@@ -142,8 +142,8 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_inner",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -431,7 +431,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -469,7 +469,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_price,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -551,7 +551,7 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w_run AS DOUBLE) AS running_spend,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w_run AS STRING) AS DOUBLE) AS running_spend,
            LAG(o_totalprice, 1)  OVER w AS prev_price,
            LEAD(o_totalprice, 1) OVER w AS next_price,
            FIRST_VALUE(o_totalprice) OVER w_run AS first_price
@@ -587,10 +587,10 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_range",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS rolling_1h
+           ) AS STRING) AS DOUBLE) AS rolling_1h
     FROM events
     """,
 )
@@ -840,7 +840,7 @@ _SUBQUERY_SQL = """
 SELECT c_custkey, c_acctbal
 FROM customer c
 WHERE c_acctbal > (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(*)
         FROM customer)
   AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
@@ -864,7 +864,7 @@ _SUBQUERY_CORR_SQL = """
 SELECT p_partkey, p_brand, p_retailprice
 FROM part p
 WHERE p_retailprice > (
-        SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
                / COUNT(*)
         FROM part p2 WHERE p2.p_brand = p.p_brand)
   AND p_partkey NOT IN (
@@ -918,7 +918,7 @@ def q_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_salted",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_value,
            COUNT(*) AS n_events
     FROM events
     GROUP BY event_type
@@ -1260,7 +1260,7 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2
     ),
     bounds AS (

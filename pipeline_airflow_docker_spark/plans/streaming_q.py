@@ -32,7 +32,7 @@ from pipeline_airflow_docker_spark.streaming.windows import (
     tumbling_counts,
 )
 
-_DSUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value"
+_DSUM_VALUE = "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value"
 
 
 # --------------------------------------------------------------------
@@ -470,7 +470,7 @@ __all__ = ["latest_by_key"]
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
     FROM events
     WHERE event_type IN ('click', 'purchase')
     GROUP BY 1, 2
