@@ -249,9 +249,24 @@ def minhash_incremental(
     )
 
 
-def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | None = None,
+    *,
+    hashes_col: str | None = None,
+) -> DataFrame:
     """Per-document 32-bit SimHash (near-dup docs land within small
-    Hamming distance; equal hashes are the degenerate block key)."""
+    Hamming distance; equal hashes are the degenerate block key).
+
+    Pass either ``text_col`` (whitespace-tokenized + hashed here) or
+    ``hashes_col`` naming a pre-computed ``array<long>`` of 32-bit
+    token hashes (:func:`token_hashes32` layout). Contract on the
+    pre-hashed path: a NULL array -> NULL simhash (unknown text); an
+    EMPTY array -> simhash 0 (every majority vote loses), matching
+    :func:`simhash32`'s fold and the SQL oracle."""
+    if (text_col is None) == (hashes_col is None):
+        raise ValueError("pass exactly one of text_col / hashes_col")
     # One md5 per token (functions/text.py::token_hashes32), then the
     # majority votes run as a CODEGEN'D aggregate over the exploded
     # (id, token-hash) rows: 32 shiftright/sum expressions instead of
@@ -266,17 +281,32 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # array, and plain explode would emit NO rows for it — the document
     # silently vanishing from the output (a cardinality contract
     # change; the fold-based simhash32 returns one row with a NULL
-    # hash). explode_outer keeps one (id, NULL) row; the non-null
-    # count __n below routes such docs to a NULL simhash.
+    # hash). explode_outer keeps one (id, NULL) row. Only a NULL input
+    # array routes to a NULL simhash (flag carried PRE-explode, since
+    # post-explode a NULL array and an empty one look identical): an
+    # EMPTY array keeps fold semantics — every majority vote loses, so
+    # the hash is 0, matching simhash32's fold and the SQL oracle.
+    # (Unreachable via tokens(), whose split yields >=1 element, but
+    # the library contract for pre-tokenized callers.)
+    ih32 = (
+        F.col(hashes_col)
+        if hashes_col is not None
+        else token_hashes32(tokens(text_col))
+    )
     ex = (
         _spread(df)
         .select(
             F.col(id_col).alias("id"),
-            token_hashes32(tokens(text_col)).alias("__ih32"),
+            ih32.alias("__ih32"),
         )
-        .select("id", F.explode_outer("__ih32").alias("__v"))
+        .select(
+            "id",
+            F.col("__ih32").isNull().alias("__null_in"),
+            F.explode_outer("__ih32").alias("__v"),
+        )
     )
     cnts = ex.groupBy("id").agg(
+        F.max("__null_in").alias("__null_in"),
         F.count("__v").alias("__n"),
         *[
             F.sum(F.shiftright("__v", 31 - b) % 2).alias(f"__b{b}")
@@ -291,7 +321,7 @@ def simhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         simhash = term if simhash is None else simhash + term
     return cnts.select(
         "id",
-        F.when(F.col("__n") == 0, F.lit(None))
+        F.when(F.col("__null_in"), F.lit(None))
         .otherwise(simhash)
         .cast("long")
         .alias("simhash"),

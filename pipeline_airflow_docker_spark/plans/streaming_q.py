@@ -319,15 +319,27 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = table(spark, sf_dir, "events")
+
+    def project(joined: DataFrame) -> DataFrame:
+        # The ONE output select list — shared by the streaming path and
+        # the empty-source branch so the schemas cannot drift apart.
+        return joined.select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("purchase_id"),
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.ts").alias("click_ts"),
+            F.col("r.ts").alias("purchase_ts"),
+        )
+
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     if max_ts is None:
         # Empty source: there is no max ts to anchor the watermark
-        # flush sentinels on, and nothing to join — the result is the
-        # empty relation with the output schema.
-        return spark.createDataFrame(
-            [],
-            "click_id BIGINT, purchase_id BIGINT, user_id BIGINT, "
-            "click_ts TIMESTAMP, purchase_ts TIMESTAMP",
+        # flush sentinels on, and nothing to join — run the same
+        # projection over an empty batch join, so the output schema is
+        # derived from the real select expressions, not a literal.
+        empty = ev.limit(0)
+        return project(
+            empty.alias("l").join(empty.alias("r"), F.lit(False), "left_outer")
         )
 
     def sentinels(hours: int, base_id: int) -> DataFrame:
@@ -360,13 +372,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="leftOuter",
     )
     emitted = run_to_df(
-        joined.select(
-            F.col("l.event_id").alias("click_id"),
-            F.col("r.event_id").alias("purchase_id"),
-            F.col("l.user_id").alias("user_id"),
-            F.col("l.ts").alias("click_ts"),
-            F.col("r.ts").alias("purchase_ts"),
-        ),
+        project(joined),
         output_mode="append",
         state_partitions=8,
     )
@@ -411,13 +417,11 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     if hi is None:
-        # Empty source (see q_stream_join_outer): empty result, output
-        # schema preserved.
-        return spark.createDataFrame(
-            [],
-            "window_start TIMESTAMP, event_type STRING, "
-            "n_events BIGINT, sum_value DOUBLE",
-        )
+        # Empty source (see q_stream_join_outer): run the SAME windowed
+        # aggregation over the empty batch relation (withWatermark is a
+        # no-op in batch), so the output schema is derived from
+        # tumbling_counts' real select list, not a string literal.
+        return tumbling_counts(ev.limit(0), "1 hour", delay="10 minutes")
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     bulk = ev.filter(F.col("ts") < F.lit(hi))
     held_out = ev.filter(F.col("ts") == F.lit(hi))

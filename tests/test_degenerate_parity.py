@@ -82,6 +82,7 @@ EMPTY_KEYS = [
     "q_agg_rollup",        # Spark emits no grand-total row on empty
     "q_grouping_sets",     # same contract through the shared SQL text
     "q_stream_late_drop",  # choreography anchored on min/max ts
+    "q_stream_join_outer", # same: empty branch (watermark flush sentinels)
     "q_agg_group",         # plain grouped agg: 0 rows both engines
     "q_dedup_minhash",     # LSH over an empty corpus
 ]

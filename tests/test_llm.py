@@ -105,6 +105,21 @@ def test_null_text_docs_never_join_and_never_vanish(spark):
     assert sh[2] is None and sh[3] is None
     assert sh[1] is not None and sh[4] is not None  # '' splits to ['']
 
+    # Pre-hashed path (round-6 ADVICE): NULL array -> NULL simhash,
+    # but an EMPTY array keeps fold semantics -> 0, matching
+    # simhash32's fold and the SQL oracle.
+    pre = spark.createDataFrame(
+        [(1, [0xDEADBEEF, 0x12345678]), (2, None), (3, [])],
+        "doc_id LONG, ih ARRAY<LONG>",
+    )
+    shp = {
+        r.id: r.simhash
+        for r in simhash_docs(pre, "doc_id", hashes_col="ih").collect()
+    }
+    assert shp[2] is None, "NULL token-hash array must give NULL simhash"
+    assert shp[3] == 0, "EMPTY token-hash array must fold to simhash 0"
+    assert shp[1] is not None and shp[1] != 0
+
     # Same invariant on the STRING n-gram path: NULL text must never
     # become the constant [''] shingle set (it paired every NULL doc
     # with every NULL/empty doc at Jaccard 1.0).

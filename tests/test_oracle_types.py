@@ -86,6 +86,12 @@ def test_gate_catches_the_round4_failure_mode(oracle_con):
     assert oracle_type_violations(["t"], ["TIME"])
     assert oracle_type_violations(["t"], ["TIME WITH TIME ZONE"])
     assert oracle_type_violations(["t"], ["STRUCT(x TIME)"])
+    # Structural walk (round 6): uppercase STRUCT *field names* must
+    # NOT false-positive — only actual type nodes are judged.
+    assert not oracle_type_violations(["t"], ['STRUCT("K" INTEGER)'])
+    assert not oracle_type_violations(["t"], ['STRUCT("ZONE" VARCHAR)'])
+    assert oracle_type_violations(["t"], ['STRUCT("K" TIME)'])
+    assert oracle_type_violations(["t"], ["MAP(INTEGER, TIME)"])
 
 
 def test_all_oracles_inside_spark_type_set(oracle_con):

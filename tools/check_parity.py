@@ -49,43 +49,53 @@ from pipeline_airflow_docker_spark.session import get_spark  # noqa: E402
 # Denied = everything Spark cannot produce: the unsigned/int128 family
 # (HUGEINT & friends), INTERVAL, TIME, UUID, ENUM, UNION, BIT, VARINT.
 # ------------------------------------------------------------------
-_TYPE_DENY = {
-    "HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT",
-    "VARINT", "BIT", "INTERVAL", "UUID", "ENUM", "UNION",
-    "TIME", "TIMETZ", "WITH", "ZONE",
+# Leaf type IDs (DuckDBPyType.id) with an exact Spark counterpart.
+_LEAF_ALLOW = {
+    "boolean", "tinyint", "smallint", "integer", "bigint",
+    "float", "double", "varchar", "blob", "date",
+    "timestamp", "timestamp with time zone",
 }
-_TYPE_ALLOW = {
-    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-    "FLOAT", "DOUBLE", "DECIMAL", "VARCHAR", "BLOB",
-    "DATE", "TIMESTAMP", "TIMESTAMPTZ",
-    "STRUCT", "MAP",
-}
+# Nested containers we recurse into (everything else — hugeint, time,
+# interval, uuid, enum, union, bit, varint, fixed-size array, … — is a
+# violation by omission: allowlist, not denylist).
+_NESTED_IDS = {"list", "struct", "map"}
+
+
+def _walk_type(typ, bad: list[str]) -> None:
+    """Recursively validate one DuckDBPyType against Spark's emitting
+    set, appending human-readable offenders to ``bad``. Structural (by
+    ``.id`` + ``.children``), so an uppercase STRUCT field name or a
+    future type alias in the rendered string cannot false-positive —
+    only actual type nodes are judged."""
+    tid = typ.id
+    if tid in _LEAF_ALLOW:
+        return
+    if tid == "decimal":
+        # children = [('precision', p), ('scale', s)] — plain ints.
+        prec = dict(typ.children).get("precision", 0)
+        if int(prec) > 38:
+            bad.append(f"DECIMAL>{38}")
+        return
+    if tid in _NESTED_IDS:
+        for _name, child in typ.children:
+            _walk_type(child, bad)
+        return
+    bad.append(tid.upper())
 
 
 def oracle_type_violations(cols: list[str], types: list) -> list[str]:
     """Columns whose DuckDB type Spark cannot emit (nested types are
-    scanned through their string form, so a HUGEINT buried in a STRUCT
-    or LIST is caught too). Returns human-readable violations.
-
-    The multi-word "TIMESTAMP WITH TIME ZONE" is normalized to the
-    single allowed token TIMESTAMPTZ FIRST, so TIME/WITH/ZONE can stay
-    on the denylist — otherwise a bare "TIME WITH TIME ZONE" (or a
-    TIME nested inside a STRUCT) would tokenize into individually
-    allowed words and slip through."""
-    import re as _re  # noqa: PLC0415
-
+    walked structurally, so a HUGEINT buried in a STRUCT or LIST is
+    caught while an uppercase STRUCT *field name* is not). Returns
+    human-readable violations."""
     out = []
     for col, typ in zip(cols, types):
-        s = str(typ).replace("TIMESTAMP WITH TIME ZONE", "TIMESTAMPTZ")
-        toks = _re.findall(r"[A-Z][A-Z_]*", s)
-        bad = sorted(
-            {t for t in toks if t in _TYPE_DENY or t not in _TYPE_ALLOW}
-        )
-        for m in _re.finditer(r"DECIMAL\((\d+),", s):
-            if int(m.group(1)) > 38:
-                bad.append(f"DECIMAL>{38}")
+        if isinstance(typ, str):  # convenience for tests / callers
+            typ = duckdb.sql(f"SELECT CAST(NULL AS {typ}) x").types[0]
+        bad: list[str] = []
+        _walk_type(typ, bad)
         if bad:
-            out.append(f"{col}: {s} (disallowed: {bad})")
+            out.append(f"{col}: {typ} (disallowed: {sorted(set(bad))})")
     return out
 
 
