@@ -28,7 +28,10 @@ _NUMERIC_TYPES = (
 
 
 def profile_columns(
-    df: DataFrame, cols: list[str], exact_distinct: bool = True
+    df: DataFrame,
+    cols: list[str],
+    exact_distinct: bool = True,
+    approx_rsd: float = 0.05,
 ) -> DataFrame:
     """Deequ-style column profile: one row per column with
     ``(column_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
@@ -45,14 +48,22 @@ def profile_columns(
     That is the exact-answer cost everywhere; pass
     ``exact_distinct=False`` to use ``approx_count_distinct`` (HLL++,
     fixed-size sketch, no Expand) — the profile then costs exactly one
-    map-side pass regardless of column count.
+    map-side pass regardless of column count. ``approx_rsd`` is the
+    sketch's maximum relative standard deviation (Spark default 0.05;
+    smaller = bigger sketch = tighter estimate); only the ``n_distinct``
+    column is approximate — every other statistic is computed by the
+    same exact aggregate on both paths.
     """
     by_name = {f.name: f.dataType for f in df.schema.fields}
     missing = [c for c in cols if c not in by_name]
     if missing:
         raise ValueError(f"profile_columns: unknown columns {missing!r}")
 
-    n_distinct = F.countDistinct if exact_distinct else F.approx_count_distinct
+    n_distinct = (
+        F.countDistinct
+        if exact_distinct
+        else lambda c: F.approx_count_distinct(c, rsd=approx_rsd)
+    )
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs.append(F.count(c).alias(f"__nn_{c}"))

@@ -64,6 +64,43 @@ def test_profile_approx_distinct_has_no_expand(spark):
     assert a["v"] == 13
 
 
+def test_profile_approx_semantics_vs_exact(spark):
+    """HLL++ path contract, graded against the exact path on a real
+    cardinality (20k distinct): ONLY n_distinct may differ, bounded by
+    the sketch's rsd; every other statistic (n_rows, n_nonnull,
+    min/max) must be IDENTICAL — both paths run the same exact
+    aggregates for them. A tighter rsd knob must plan a bigger sketch
+    yet stay inside its own (tighter) bound."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 997).cast("double").alias("v"),
+        F.concat(F.lit("u"), (F.col("id") % 50).cast("string")).alias("s"),
+    )
+    cols = ["id", "v", "s"]
+    exact = {
+        r["column_name"]: r.asDict()
+        for r in profile_columns(df, cols, exact_distinct=True).collect()
+    }
+    for rsd in (0.05, 0.01):
+        approx = {
+            r["column_name"]: r.asDict()
+            for r in profile_columns(
+                df, cols, exact_distinct=False, approx_rsd=rsd
+            ).collect()
+        }
+        for c in cols:
+            e, a = exact[c], approx[c]
+            for stat in ("n_rows", "n_nonnull", "min_num", "max_num",
+                         "min_str", "max_str"):
+                assert a[stat] == e[stat], (c, stat, a[stat], e[stat])
+            # 4 standard deviations of slack on the advertised rsd —
+            # deterministic for a fixed dataset, so no flake.
+            tol = 4 * rsd * e["n_distinct"]
+            assert abs(a["n_distinct"] - e["n_distinct"]) <= max(tol, 1), (
+                c, rsd, a["n_distinct"], e["n_distinct"])
+
+
 def test_zscore_outliers_flags_the_planted_point(spark):
     rows = [("a", float(v)) for v in (10, 11, 9, 10, 12, 9, 10, 11, 100)]
     rows += [("b", 5.0), ("b", 6.0), ("b", 5.5), ("b", 4.5)]
