@@ -1,0 +1,87 @@
+"""Controlled bench A/B against a recorded driver baseline.
+
+The per-round story since r04: the driver's BENCH_rNN sometimes lands
+during host contention, flagging untouched keys at 1.5-2.5x. The
+established answer (NOTES_r05/r06, SCALE.md §10) is a quiet-box rerun
+at REPS>=11 compared per-key against the newest trustworthy baseline —
+re-derived by hand every round until now. This codifies it:
+
+    python tools/bench_ab.py --baseline BENCH_r04.json \
+        --keys q_join_asof,q_knn_lsh [--reps 11] [--threshold 1.25]
+
+Runs bench.py as a subprocess (same env knobs), then prints a per-key
+table of min/median vs the baseline's, with PASS/FLAG at the noise
+threshold (default 1.25 = the documented ±25% floor). Exit 1 if any
+key FLAGs — usable as a gate. Compare minima to minima: both sides are
+min-of-reps estimates of intrinsic plan cost; medians are shown for
+context only (see bench.py's docstring for why min, not median).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_baseline(path: str) -> tuple[dict, dict]:
+    with open(path) as fh:
+        raw = json.load(fh)
+    # Driver BENCH_rNN files wrap the bench JSON line under "parsed";
+    # a raw `python bench.py > out.json` capture is the line itself.
+    rec = raw.get("parsed", raw)
+    return rec["queries"], rec.get("queries_median", {})
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--baseline", required=True, help="BENCH_rNN.json (or raw bench.py output)")
+    ap.add_argument("--keys", required=True, help="csv of qkeys")
+    ap.add_argument("--reps", type=int, default=11)
+    ap.add_argument("--threshold", type=float, default=1.25)
+    args = ap.parse_args()
+
+    base_min, base_med = load_baseline(args.baseline)
+    keys = [k for k in args.keys.split(",") if k]
+    missing = [k for k in keys if k not in base_min]
+    if missing:
+        print(f"not in baseline: {missing}", file=sys.stderr)
+        return 2
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_KEYS=",".join(keys),
+        SPARK_GRAFT_BENCH_REPS=str(args.reps),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=False,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-2000:])
+        return 2
+    line = proc.stdout.strip().splitlines()[-1]
+    got = json.loads(line)
+
+    flagged = 0
+    print(f"{'key':24s} {'base_min':>9s} {'ab_min':>8s} {'ratio':>6s}   "
+          f"{'base_med':>9s} {'ab_med':>8s}  verdict")
+    for k in keys:
+        bm, gm = base_min[k], got["queries"][k]
+        ratio = gm / bm if bm else float("inf")
+        ok = ratio <= args.threshold
+        flagged += 0 if ok else 1
+        print(f"{k:24s} {bm:9.3f} {gm:8.3f} {ratio:6.2f}   "
+              f"{base_med.get(k, float('nan')):9.3f} "
+              f"{got.get('queries_median', {}).get(k, float('nan')):8.3f}"
+              f"  {'PASS' if ok else 'FLAG'}")
+    print(f"\n{len(keys) - flagged}/{len(keys)} within {args.threshold}x of baseline minima")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
