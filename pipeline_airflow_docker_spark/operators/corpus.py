@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pipeline_airflow_docker_spark.functions.materialize import materialize
 
 from pipeline_airflow_docker_spark.operators.dedup import (
+    dedup_exact,
     minhash_dup_pairs,
     resolve_components,
 )
@@ -38,6 +39,7 @@ def clean_corpus(
     jaccard_threshold: float = 0.8,
     splits: dict[str, float] | None = None,
     seed: int = 42,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Clean a document corpus for training.
 
@@ -46,6 +48,19 @@ def clean_corpus(
     near-duplicate component. Dropped rows are low-quality docs and
     non-representative near-dups (a doc beaten by a lower-id near-dup
     anywhere in its dup cluster, including transitively).
+
+    ``collapse_exact`` (default on) collapses byte-identical texts to
+    their min-id copy BEFORE the LSH stage. k identical documents share
+    every band key, so feeding them to LSH directly creates k(k-1)/2
+    candidate pairs in every band bucket — the quadratic pocket that
+    boilerplate-heavy corpora hit at 100 TB. The collapse is
+    result-identical, not an approximation: identical texts are
+    Jaccard-1.0 near-dups, so each exact group's min-id member survives
+    exactly when its group would have; the final keep-set (min-id rep
+    per near-dup component) is unchanged. NULL-text rows bypass the
+    collapse: under the round-5 NULL contract they never LSH-match
+    anything — each is its own component — while a text groupBy would
+    merge them into one group and silently drop all but one.
     """
     q = quality_score(df, id_col, text_col)
     # Materialized once: the kept set feeds pair generation, the
@@ -55,10 +70,22 @@ def clean_corpus(
     kept = materialize(df.join(
         q.filter(F.col("quality") >= quality_min), on=id_col, how="inner"
     ))
+    if collapse_exact:
+        lsh_in = dedup_exact(
+            kept.filter(F.col(text_col).isNotNull()),
+            [text_col],
+            order=[F.col(id_col)],
+        ).unionByName(kept.filter(F.col(text_col).isNull()))
+    else:
+        lsh_in = kept
     pairs = minhash_dup_pairs(
-        kept, id_col, text_col, threshold=jaccard_threshold
+        lsh_in, id_col, text_col, threshold=jaccard_threshold
     ).select("id_a", "id_b")
-    comp = resolve_components(kept.select(id_col), pairs, id_col=id_col)
+    # Nodes are the LSH inputs only: a collapsed-away exact dup can
+    # never be its component's min id (its group rep has a smaller id
+    # and Jaccard 1.0 puts both in the same component), so it is
+    # drop-equivalent to the uncollapsed run.
+    comp = resolve_components(lsh_in.select(id_col), pairs, id_col=id_col)
     reps = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -416,6 +416,61 @@ def test_clean_corpus_drops_low_quality_and_dups(spark):
     assert set(out.values()) <= {"train", "val", "test"}
 
 
+def test_clean_corpus_exact_collapse_is_result_identical(spark):
+    """The exact-collapse prepass (collapse byte-identical texts to
+    their min-id copy before LSH) must be a pure plan optimization:
+    identical keep-set with it on and off, while the LSH stage sees
+    quadratically fewer candidate pairs on an identical-doc clique."""
+    from pipeline_airflow_docker_spark.operators.corpus import clean_corpus
+
+    rich = (
+        "the quick brown fox jumps over one lazy dog while seventeen "
+        "sparrows debate quantum economics beneath flowering chestnut trees "
+        "and distant ships signal across the harbor carrying spice cargo"
+    )
+    boiler = (
+        "standard legal boilerplate paragraph governing limitation of "
+        "liability indemnification severability waiver amendments notices "
+        "assignment entire agreement and governing law for every contract"
+    )
+    rows = (
+        # a 6-doc byte-identical clique (the quadratic pocket)
+        [(i, boiler) for i in range(1, 7)]
+        # a genuine near-dup pair that must still be found post-collapse
+        + [(7, rich), (8, rich + " tonight")]
+        # NULL texts: dropped by the quality gate, never merged by the
+        # collapse (groupBy would treat NULL keys as equal)
+        + [(9, None), (10, None)]
+        + [(11, "completely different words about mountaineering routes "
+                "with crampons ropes carabiners and alpine weather "
+                "forecasting models for winter expedition planning")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    res = {
+        mode: sorted(
+            (r.doc_id, r.quality, r.split)
+            for r in clean_corpus(
+                docs, quality_min=0.3, collapse_exact=mode
+            ).collect()
+        )
+        for mode in (True, False)
+    }
+    assert res[True] == res[False]
+    kept_ids = {t[0] for t in res[True]}
+    assert kept_ids == {1, 7, 11}  # min-id per cluster, near-dup folded
+
+    # The perf claim: the clique contributes C(6,2)=15 verified pairs
+    # uncollapsed and ZERO after collapse (one representative left).
+    pairs_raw = minhash_dup_pairs(docs, "doc_id", "text", threshold=0.8)
+    clique_raw = pairs_raw.filter(F.col("id_a") <= 6).filter(F.col("id_b") <= 6)
+    assert clique_raw.count() == 15
+    collapsed = dedup_exact(
+        docs.filter(F.col("text").isNotNull()), ["text"], order=[F.col("doc_id")]
+    )
+    pairs_col = minhash_dup_pairs(collapsed, "doc_id", "text", threshold=0.8)
+    assert pairs_col.filter(F.col("id_b") <= 6).count() == 0
+
+
 def test_redact_pii_patterns_and_counts(spark):
     from pipeline_airflow_docker_spark.operators.redact import redact_pii
 
