@@ -71,11 +71,22 @@ def clean_corpus(
         q.filter(F.col("quality") >= quality_min), on=id_col, how="inner"
     ))
     if collapse_exact:
-        lsh_in = dedup_exact(
-            kept.filter(F.col(text_col).isNotNull()),
-            [text_col],
+        # Key the collapse window on (md5 digest, text), not the raw
+        # text alone: the window's shuffle/sort otherwise uses the full
+        # document body as its key, so every comparison during the sort
+        # walks two long strings byte-by-byte. With the 32-char digest
+        # leading, sort comparisons resolve on the digest except between
+        # genuinely identical texts; the full-text column stays in the
+        # key purely as the exactness tiebreak (a digest collision can
+        # never merge distinct texts), so the result is bit-identical.
+        collapsed = dedup_exact(
+            kept.filter(F.col(text_col).isNotNull()).withColumn(
+                "__tdig", F.md5(F.col(text_col))
+            ),
+            ["__tdig", text_col],
             order=[F.col(id_col)],
-        ).unionByName(kept.filter(F.col(text_col).isNull()))
+        ).drop("__tdig")
+        lsh_in = collapsed.unionByName(kept.filter(F.col(text_col).isNull()))
     else:
         lsh_in = kept
     pairs = minhash_dup_pairs(

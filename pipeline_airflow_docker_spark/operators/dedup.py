@@ -72,6 +72,28 @@ def dedup_exact(df: DataFrame, keys: list[str], order: list[Column] | None = Non
     )
 
 
+#: Default ceiling on the estimated candidate-pair count of the two
+#: quadratic baseline paths (``ngram_jaccard_pairs`` and un-bucketed
+#: ``embedding_dup_pairs``). 10M pairs finishes in seconds on
+#: local[32]; the sf1.0 sweep proved what happens without a ceiling —
+#: 20 k vectors → ~2·10⁸ BroadcastNestedLoop pairs killed a 128 GiB
+#: JVM outright (evidence/parity_sf1_r06_attempt1_crash.log). A
+#: baseline must refuse loudly, not take the session down.
+QUADRATIC_PAIR_CEILING = 10_000_000
+
+
+def _check_pair_budget(est_pairs: int, max_pairs: int, what: str, scale_path: str) -> None:
+    if est_pairs > max_pairs:
+        raise ValueError(
+            f"{what}: estimated candidate pairs {est_pairs:,} exceed "
+            f"max_pairs={max_pairs:,}. This is the quadratic correctness "
+            f"baseline — at this size use the blocked scale path instead: "
+            f"{scale_path}. Pass max_pairs=None only if you accept the "
+            f"O(n^2) cost (a 20k-row input has already crashed a 128 GiB "
+            f"local JVM)."
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -79,12 +101,30 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    max_pairs: int | None = QUADRATIC_PAIR_CEILING,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (id_a < id_b, jacc >= t).
 
     Quadratic within a block — the correctness baseline the LSH path
     (minhash_dup_pairs) is measured against. ``block_col`` bounds the
-    self-join; at scale always block (or use minhash)."""
+    self-join; at scale always block (or use minhash).
+
+    ``max_pairs`` guards the quadratic blow-up: the sum of per-block
+    c·(c-1)/2 is estimated from a block-cardinality-sized aggregate
+    (one column-pruned scan of ``block_col`` only, collected at block
+    granularity — never rows) and the call refuses with a clear error
+    pointing at :func:`minhash_dup_pairs` when it exceeds the ceiling.
+    ``None`` disables the guard."""
+    if max_pairs is not None:
+        blk = F.col(block_col) if block_col else F.lit(1)
+        block_counts = df.groupBy(blk.alias("__blk")).count().collect()
+        est = sum(r["count"] * (r["count"] - 1) // 2 for r in block_counts)
+        _check_pair_budget(
+            est,
+            max_pairs,
+            "ngram_jaccard_pairs",
+            "minhash_dup_pairs (MinHash+LSH band join, linear shuffle)",
+        )
     # Materialized once — the self-join reads it twice and would
     # otherwise recompute the shingle pipeline per side (mode knob:
     # functions/materialize.py).
@@ -448,12 +488,30 @@ def embedding_dup_pairs(
     threshold: float,
     bucketed: bool = True,
     n_bits: int = 8,
+    max_pairs: int | None = QUADRATIC_PAIR_CEILING,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. ``bucketed=True`` blocks the
     self-join on a sign-pattern bucket (LSH-style; misses pairs
     straddling a hyperplane — recall/cost knob via ``n_bits``);
-    ``False`` is the exact quadratic baseline."""
+    ``False`` is the exact quadratic baseline.
+
+    The un-bucketed baseline plans a BroadcastNestedLoopJoin —
+    n·(n-1)/2 dot products — which killed a 128 GiB local[32] JVM at
+    just 20 k vectors (round-6 sf1.0 sweep,
+    evidence/parity_sf1_r06_attempt1_crash.log). ``max_pairs`` makes
+    it refuse loudly instead: a count-star (parquet-metadata cheap)
+    estimates the pair count and raises pointing at the bucketed
+    sign-LSH path. The guard never runs on the bucketed path, whose
+    shuffle is keyed and linear. ``None`` disables it."""
     e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if not bucketed and max_pairs is not None:
+        n = e.count()
+        _check_pair_budget(
+            n * (n - 1) // 2,
+            max_pairs,
+            "embedding_dup_pairs(bucketed=False)",
+            "bucketed=True (sign-LSH blocked self-join; see q_semdedup)",
+        )
     if bucketed:
         e = e.withColumn("bkt", sign_bucket(F.col("v"), n_bits))
     a, b = e.alias("a"), e.alias("b")

@@ -163,6 +163,40 @@ def test_embedding_dup_bucketed_subset_of_exact(spark, sf_dir):
     assert buck <= exact  # bucketing may miss pairs, never invent them
 
 
+def test_quadratic_baselines_refuse_past_pair_ceiling(spark, sf_dir):
+    """The all-pairs baselines must fail LOUDLY past their pair budget
+    (the round-6 sf1.0 sweep proved the alternative: 20 k vectors →
+    BroadcastNestedLoop → dead JVM). The error must name the blocked
+    scale path, the bucketed/LSH paths must never trip the guard, and
+    max_pairs=None must disable it for callers who accept the cost."""
+    e = table(spark, sf_dir, "embeddings")
+    d = table(spark, sf_dir, "documents")
+
+    with pytest.raises(ValueError, match="sign-LSH"):
+        embedding_dup_pairs(
+            e, "vec_id", "embedding", 0.3, bucketed=False, max_pairs=10
+        )
+    with pytest.raises(ValueError, match="minhash_dup_pairs"):
+        ngram_jaccard_pairs(
+            d, "doc_id", "text", threshold=0.9, block_col="lang", max_pairs=10
+        )
+
+    # Bucketed path: guard never runs, even with an absurd ceiling.
+    assert (
+        embedding_dup_pairs(
+            e, "vec_id", "embedding", 0.3, bucketed=True, max_pairs=0
+        ).count()
+        >= 0
+    )
+    # Opt-out: None disables the guard on the quadratic path.
+    assert (
+        embedding_dup_pairs(
+            e.limit(20), "vec_id", "embedding", 0.3, bucketed=False, max_pairs=None
+        ).count()
+        >= 0
+    )
+
+
 def test_multimodal_real_decode_raises(spark, sf_dir):
     d = table(spark, sf_dir, "documents").limit(2)
     feats = extract_features(attach_binary_payload(d), fake=False)

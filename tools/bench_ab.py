@@ -34,12 +34,27 @@ def load_baseline(path: str) -> tuple[dict, dict]:
     # Driver BENCH_rNN files wrap the bench JSON line under "parsed";
     # a raw `python bench.py > out.json` capture is the line itself.
     rec = raw.get("parsed", raw)
-    return rec["queries"], rec.get("queries_median", {})
+    # Pre-r04 bench records put MEDIANS in "queries" (and have no
+    # "queries_median" field); comparing min-of-reps against a median
+    # baseline is systematically lenient at the threshold. Require a
+    # baseline that records both (r04+), rather than silently degrading.
+    if "queries_median" not in rec:
+        raise SystemExit(
+            f"{path}: no 'queries_median' field — this is a pre-r04 "
+            f"baseline whose 'queries' values are MEDIANS, not minima. "
+            f"A/B needs a min-based baseline: use BENCH_r04.json or newer."
+        )
+    return rec["queries"], rec["queries_median"]
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--baseline", required=True, help="BENCH_rNN.json (or raw bench.py output)")
+    ap.add_argument(
+        "--baseline",
+        required=True,
+        help="BENCH_rNN.json (or raw bench.py output). Must be r04+ — "
+        "older records hold medians in 'queries', which this tool rejects.",
+    )
     ap.add_argument("--keys", required=True, help="csv of qkeys")
     ap.add_argument("--reps", type=int, default=11)
     ap.add_argument("--threshold", type=float, default=1.25)
@@ -66,6 +81,17 @@ def main() -> int:
         return 2
     line = proc.stdout.strip().splitlines()[-1]
     got = json.loads(line)
+
+    # A key present in the baseline but no longer in plans.QUERIES is
+    # silently dropped by bench.py's registry filter; surface that as a
+    # clean error instead of a KeyError traceback below.
+    not_run = [k for k in keys if k not in got["queries"]]
+    if not_run:
+        print(
+            f"not in current plans.QUERIES (bench.py skipped them): {not_run}",
+            file=sys.stderr,
+        )
+        return 2
 
     flagged = 0
     print(f"{'key':24s} {'base_min':>9s} {'ab_min':>8s} {'ratio':>6s}   "
