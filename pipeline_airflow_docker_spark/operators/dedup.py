@@ -118,7 +118,15 @@ def ngram_jaccard_pairs(
     if max_pairs is not None:
         blk = F.col(block_col) if block_col else F.lit(1)
         block_counts = df.groupBy(blk.alias("__blk")).count().collect()
-        est = sum(r["count"] * (r["count"] - 1) // 2 for r in block_counts)
+        # NULL-block rows never satisfy the a.blk == b.blk equi-join
+        # below, so they contribute zero pairs — excluding them keeps
+        # the estimate exact instead of refusing a corpus whose bulk
+        # is un-blocked (NULL-lang) rows that would never self-join.
+        est = sum(
+            r["count"] * (r["count"] - 1) // 2
+            for r in block_counts
+            if r["__blk"] is not None
+        )
         _check_pair_budget(
             est,
             max_pairs,

@@ -196,6 +196,22 @@ def test_quadratic_baselines_refuse_past_pair_ceiling(spark, sf_dir):
         >= 0
     )
 
+    # NULL-block rows never satisfy the equi-join, so they must not
+    # count toward the refusal estimate: 50 NULL-lang docs would be
+    # 1225 "pairs" if miscounted, but the only real block has 2 docs
+    # = 1 pair, under the ceiling of 5.
+    nulls = spark.createDataFrame(
+        [(i, "t %d" % i, None) for i in range(50)]
+        + [(100, "same text", "en"), (101, "same text", "en")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    assert (
+        ngram_jaccard_pairs(
+            nulls, "doc_id", "text", threshold=0.9, block_col="lang", max_pairs=5
+        ).count()
+        >= 0
+    )
+
 
 def test_multimodal_real_decode_raises(spark, sf_dir):
     d = table(spark, sf_dir, "documents").limit(2)
