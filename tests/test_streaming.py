@@ -306,6 +306,49 @@ def test_stage_files_orders_batches_by_list_position(spark):
     assert stage_files(spark, dfs, cache_key=("t", "x")) == p2
 
 
+def test_file_arrival_incremental_pickup_via_checkpoint(spark, tmp_path):
+    """S9 file-sensor semantics, engine-level: the streaming file
+    source discovers files that arrive BETWEEN checkpointed runs and
+    processes each exactly once — the Spark-native replacement for the
+    reference's poll-until-present FileSensor + rerun loop
+    [ref dags/etl_data_pipeline_mongodb_complex.py:93-98]. The seen-
+    files log in the checkpoint is what makes re-running the bounded
+    job equivalent to the sensor's poke loop: old files are never
+    reprocessed, new arrivals are picked up."""
+    src = str(tmp_path / "incoming")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "id LONG, v STRING"
+    spark.createDataFrame([(1, "a")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == [1]
+
+    # A new file lands after the first bounded run finished.
+    spark.createDataFrame([(2, "b")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    # Exactly-once per file: old file not reprocessed, new one ingested.
+    assert sorted(r.id for r in spark.read.parquet(sink).collect()) == [1, 2]
+
+
 def test_late_rows_dropped_only_after_window_eviction(spark):
     """Pins the watermark choreography q_stream_late_drop relies on:
     Spark evicts closed windows at the end of the first batch that
