@@ -200,3 +200,81 @@ def test_impute_group_mean_fills_center_and_respects_empty_groups(spark):
 
     with _pytest.raises(ValueError, match="group column"):
         impute_group_mean(df, [], "v")
+
+
+def test_scd2_intervals_chain_tiles_and_single_current(spark):
+    """SCD2 contract (operators/intervals.py::scd2_intervals): per key
+    the versions chain half-open [valid_from, valid_to) with
+    valid_to == the next version's valid_from, exactly ONE current
+    (NULL valid_to) row per key — the one with the max (ts, tiebreak)
+    — and a ts tie collapses the earlier tiebreaker version to a
+    zero-width interval rather than duplicating currency."""
+    from pipeline_airflow_docker_spark.operators.intervals import scd2_intervals
+
+    rows = [
+        (1, 101, "2024-01-01 10:00:00"),
+        (1, 102, "2024-01-01 11:00:00"),
+        (1, 103, "2024-01-01 11:00:00"),  # ts tie -> event_id breaks it
+        (2, 201, "2024-01-01 09:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id LONG, event_id LONG, ts_s STRING"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = scd2_intervals(
+        df, ["user_id"], "ts", order_tiebreakers=["event_id"]
+    ).collect()
+
+    by_key: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r.user_id, r.valid_from, r.event_id)):
+        by_key.setdefault(r.user_id, []).append(r)
+
+    for key, chain in by_key.items():
+        # Chain tiles: each valid_to is the successor's valid_from.
+        for prev, nxt in zip(chain, chain[1:]):
+            assert prev.valid_to == nxt.valid_from, (key, prev, nxt)
+        # Exactly one current version per key, and it's the last.
+        currents = [r for r in chain if r.is_current]
+        assert len(currents) == 1 and currents[0] is chain[-1], chain
+        assert all(r.valid_to is not None for r in chain[:-1])
+
+    # The tie: 102 becomes a zero-width [11:00, 11:00) version; 103 is
+    # the current one. As-of lookup at 11:00 therefore resolves to 103.
+    k1 = {r.event_id: r for r in by_key[1]}
+    assert k1[102].valid_from == k1[102].valid_to
+    assert not k1[102].is_current and k1[103].is_current
+
+
+def test_asof_join_at_or_before_and_no_prior_view(spark, tmp_path):
+    """As-of contract (plans/relational.py::q_join_asof): a view at
+    EXACTLY the click's timestamp matches (at-or-before, pinned by the
+    __kind sort key), a click with no prior view keeps a NULL
+    last_view_ts instead of vanishing, and the match is the latest
+    qualifying view per user."""
+    from pipeline_airflow_docker_spark.plans.relational import q_join_asof
+
+    rows = [
+        # user 1: view at the click's exact ts -> must match
+        (1, 1, "view", "2024-01-01 10:00:00"),
+        (2, 1, "click", "2024-01-01 10:00:00"),
+        # user 2: the only view comes AFTER the click -> NULL
+        (3, 2, "click", "2024-01-01 10:00:00"),
+        (4, 2, "view", "2024-01-01 11:00:00"),
+        # user 3: two prior views -> latest one wins
+        (5, 3, "view", "2024-01-01 09:00:00"),
+        (6, 3, "view", "2024-01-01 10:00:00"),
+        (7, 3, "click", "2024-01-01 10:30:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts_s STRING"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.event_id: (None if r.last_view_ts is None else str(r.last_view_ts))
+        for r in q_join_asof(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        2: "2024-01-01 10:00:00",
+        3: None,
+        7: "2024-01-01 10:00:00",
+    }
