@@ -262,11 +262,19 @@ def build_all_dags(
 
             if spec.has_report:
                 # K8 report stage: render the metrics dict the job
-                # returned (Airflow auto-XComs the return value) — the
-                # engine computes metrics, orchestration formats them.
+                # returned (Airflow auto-XComs the return value) with
+                # the engine's report renderer (sinks/report.py) — the
+                # engine computes metrics AND formats them; the
+                # orchestration layer only schedules the send.
                 def _report(ti, spec=spec, **_):
+                    from pipeline_airflow_docker_spark.sinks.report import (
+                        render_report_html,
+                    )
+
                     metrics = ti.xcom_pull(task_ids="run_spark_job")
-                    return f"{spec.dag_id}: {metrics}"
+                    return render_report_html(
+                        metrics or {}, title=spec.dag_id
+                    )
 
                 run >> PythonOperator(
                     task_id="send_report", python_callable=_report

@@ -11,8 +11,9 @@
 - partitioned Parquet layout (Phase 5 scale helper — not in the
   reference, which has no partitioning at all, SURVEY.md §4.1)
 
-The email/report sink (K8) is orchestration, not data plane; its data
-half (metrics computation, G5) is ``pipelines.run_metrics``.
+- K8 email/report sink     [ref dags/kafka_to_mongo_pipeline_enchanced.py:167-183,219-224]
+  (``report.py`` — HTML rendering from the G5 metrics table + SMTP
+  send; metrics computation itself is G5 / ``pipelines.run_metrics``)
 """
 
 from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: F401
@@ -30,4 +31,8 @@ from pipeline_airflow_docker_spark.streaming.sinks import (  # noqa: F401
 )
 from pipeline_airflow_docker_spark.streaming.sinks import (  # noqa: F401
     upsert_foreach_batch,
+)
+from pipeline_airflow_docker_spark.sinks.report import (  # noqa: F401
+    render_report_html,
+    send_email_report,
 )
