@@ -27,6 +27,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def join_group_nullsafe(
+    left: DataFrame,
+    right: DataFrame,
+    cols: list[str],
+    broadcast: bool = True,
+) -> DataFrame:
+    """Inner join on ``cols`` with NULL-SAFE equality (``<=>``),
+    keeping one copy of the join columns (USING semantics).
+
+    SQL GROUP BY / PARTITION BY treat NULL as a real group, but a
+    plain equi-join never matches NULL keys — so every
+    "aggregate-then-join-back" decomposition in this module silently
+    DROPPED the NULL group while the window formulation it replaces
+    kept it (found by the seeded fuzz fixture, round 7:
+    q_corr_spearman / q_agg_mad / q_quantile_bucket lost the
+    NULL-flag group). ``<=>`` is still an equi-predicate: Catalyst
+    plans the same BroadcastHashJoin, so the scale shape is unchanged.
+    """
+    r = right
+    for c in cols:
+        r = r.withColumnRenamed(c, f"__r_{c}")
+    cond = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        cond = e if cond is None else cond & e
+    rhs = F.broadcast(r) if broadcast else r
+    return left.join(rhs, cond).drop(*[f"__r_{c}" for c in cols])
+
+
 def binned_scaled_rank(
     df: DataFrame,
     group_col: str,
@@ -106,7 +135,7 @@ def binned_scaled_ranks(
             F.lit(1)
         ).over(w_ties) - F.lit(1)
         out = (
-            out.join(F.broadcast(offsets), [group_col, b])
+            join_group_nullsafe(out, offsets, [group_col, b])
             .withColumn(out_col, local.cast("decimal(18,0)"))
             .drop("__offset")
         )
@@ -151,7 +180,7 @@ def scaled_rank_by_value(
             + F.lit(1)
         ).cast("decimal(18,0)").alias(out_col),
     )
-    return df.join(F.broadcast(lut), [group_col, value_col])
+    return join_group_nullsafe(df, lut, [group_col, value_col])
 
 
 def kth_value_by_counts(
@@ -251,7 +280,7 @@ def binned_kth_value(
     ).select(group_col, "__bin", "__before", n_col)
     w_bin = Window.partitionBy(group_col, "__bin").orderBy(value_col)
     picked = (
-        binned.join(F.broadcast(target), [group_col, "__bin"])
+        join_group_nullsafe(binned, target, [group_col, "__bin"])
         .withColumn("__rn", F.row_number().over(w_bin))
         .filter(F.col("__rn") == k_of_n(F.col(n_col)) - F.col("__before"))
     )
@@ -313,7 +342,7 @@ def binned_ntile(
         r + F.ceil((rn - big) / q)
     )
     return (
-        binned.join(F.broadcast(offsets), [group_col, "__bin"])
+        join_group_nullsafe(binned, offsets, [group_col, "__bin"])
         .withColumn(out_col, tier.cast("int"))
         .drop("__bin", "__offset", "__gn")
     )
@@ -321,6 +350,7 @@ def binned_ntile(
 
 __all__ = [
     "binned_kth_value",
+    "join_group_nullsafe",
     "binned_ntile",
     "binned_scaled_rank",
     "binned_scaled_ranks",

@@ -47,8 +47,15 @@ from pipeline_airflow_docker_spark.plans.registry import query
 # DuckDB fragments mirroring functions/text.py exactly.
 _DD_TOKS = "string_split(text, ' ') AS toks"
 _DD_SHINGLES3 = (
+    # NULL-propagating like functions/text.py::shingles — DuckDB's
+    # greatest() SKIPS NULLs, so without the CASE a NULL token array
+    # clamps to one window and every NULL-text document emits the
+    # constant shingle '' (the r05 contract violation the engine
+    # guards against; a NULL-text doc in q_decontaminate's benchmark
+    # slice poisoned the oracle's gram set — fuzz fixture, round 7).
+    "CASE WHEN toks IS NULL THEN NULL ELSE "
     "list_distinct(list_transform(range(1, greatest(len(toks)-2,1)+1), "
-    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh"
+    "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS sh"
 )
 # Integer MinHash family — mirrors functions/text.py::int_shingles /
 # minhash_signature_int exactly (one md5 per token; 40-bit rolling-

@@ -84,8 +84,15 @@ _NULLED_CUSTOMER_SQL = """
 @query(
     "q_dropna_any",
     oracle=f"""
+    -- dropna(any) drops on EVERY column (NaN counts as missing,
+    -- pandas parity) — not just the two artificially nulled ones;
+    -- natively-NULL c_mktsegment rows exposed the narrower filter
+    -- (fuzz fixture, round 7)
     SELECT * FROM ({_NULLED_CUSTOMER_SQL})
-    WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+    WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+      AND c_nationkey IS NOT NULL
+      AND c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)
+      AND c_mktsegment IS NOT NULL
     """,
 )
 def q_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,8 +357,12 @@ def q_union_ragged(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_count_gate",
     oracle=f"""
     WITH cleaned AS (
+      -- same all-column dropna(any) contract as q_dropna_any
       SELECT * FROM ({_NULLED_CUSTOMER_SQL})
-      WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL
+      WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        AND c_nationkey IS NOT NULL
+        AND c_acctbal IS NOT NULL AND NOT isnan(c_acctbal)
+        AND c_mktsegment IS NOT NULL
     )
     SELECT c_custkey, c_name, c_acctbal,
            (SELECT COUNT(*) FROM cleaned) AS n_rows
@@ -405,6 +416,21 @@ def q_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     title = F.concat_ws(
         " ", F.element_at(toks, 1), F.element_at(toks, 2), F.element_at(toks, 3)
+    )
+    # Escape the text before embedding it in markup (& first): a
+    # document token like '<tag>' must arrive in the h1 as character
+    # data, not as an HTML element — the scraper's charref conversion
+    # then round-trips it back to the raw text the oracle sees
+    # (unescaped embedding silently ate markup-like tokens; fuzz
+    # fixture, round 7).
+    title = F.replace(
+        F.replace(
+            F.replace(title, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
     )
     pages = d.filter(F.size(toks) >= 3).select(
         "doc_id",

@@ -687,7 +687,12 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(o_orderdate AS DATE) AS order_date,
            CAST(DATE_DIFF('day', o_orderdate, DATE '2002-01-01') AS INT) AS days_to_2002,
-           CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_sec,
+           -- FLOOR before the cast: EPOCH returns fractional seconds
+           -- and DuckDB's double->bigint cast ROUNDS, while Spark's
+           -- unix_timestamp floors — they diverge on .5+ fractions
+           -- (caught by the fuzz fixture's microsecond-jittered
+           -- o_orderdate; the base fixture has midnight-only orders)
+           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS epoch_sec,
            STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso
     FROM orders
     """,
@@ -1740,6 +1745,7 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.operators.ranks import (  # noqa: PLC0415
+        join_group_nullsafe,
         kth_value_by_counts,
     )
 
@@ -1777,7 +1783,7 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             li, "l_returnflag", "l_quantity", out_col="med_qty"
         )
     )
-    dev = li.join(F.broadcast(med), "l_returnflag").select(
+    dev = join_group_nullsafe(li, med, ["l_returnflag"]).select(
         "l_returnflag",
         F.abs(F.col("l_quantity") - F.col("med_qty")).alias("dev"),
     )
@@ -1785,7 +1791,7 @@ def q_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev, "l_returnflag", "dev", out_col="mad_qty"
     ).select("l_returnflag", "mad_qty")
     return (
-        med.join(mad, "l_returnflag")
+        join_group_nullsafe(med, mad, ["l_returnflag"], broadcast=False)
         .select("l_returnflag", "n", "med_qty", "mad_qty")
         .orderBy("l_returnflag")
     )
