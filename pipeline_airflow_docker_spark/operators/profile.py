@@ -174,13 +174,23 @@ def zscore_outliers(
     Σ terms are exact, and the remaining double arithmetic is a fixed
     expression tree, so any IEEE-754 engine computes bit-identical
     z-scores.
+
+    The square is taken IN DECIMAL (``dec(v)·dec(v)``, B37's pattern),
+    never as ``dec(v·v)``: squaring the double first is only exact
+    while ``v²`` stays under 2⁵³ — a 4dp value of magnitude 1e9
+    squares to a ~1e18 true value the double cannot hold, and the
+    engines' double→decimal casts round the SAME inexact product to
+    DIFFERENT decimals (Spark the shortest repr, DuckDB the binary
+    value). Found by the seed-3 differential fuzz sweep (1-ulp z-score
+    divergence at |value| ≈ 9.6e8).
     """
     v = F.col(value_col)
+    dv = dec(v, 18, 4)
     stats = df.groupBy(key).agg(
         F.count(value_col).alias("__n"),
         davg(value_col).alias("__mean"),
-        # 2-decimal inputs square to exactly 4 decimals; scale 8 is headroom.
-        F.sum(dec(v * v, 28, 8)).cast("double").alias("__sumsq"),
+        # decimal(18,4)² -> decimal(37,8): exact for any 4dp input.
+        F.sum(dv * dv).cast("double").alias("__sumsq"),
     )
     sd = F.sqrt(
         (F.col("__sumsq") - F.col("__n") * F.col("__mean") * F.col("__mean"))

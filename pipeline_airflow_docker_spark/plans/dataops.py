@@ -107,7 +107,11 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(value) AS n,
              CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(value) AS mean,
-             CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS sumsq
+             -- square IN DECIMAL (19,4 forces int128-exact products,
+             -- B37's note); dec(v*v) diverges cross-engine once v^2
+             -- exceeds 2^53 — see operators/profile.py::zscore_outliers
+             CAST(CAST(SUM(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)))
+                  AS STRING) AS DOUBLE) AS sumsq
       FROM events GROUP BY event_type
     )
     SELECT e.event_type, e.event_id, e.ts, e.user_id, e.value, e.props,

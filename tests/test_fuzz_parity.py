@@ -31,41 +31,55 @@ from tools import check_parity, gen_fuzz_data  # noqa: E402
 
 from pipeline_airflow_docker_spark.catalog import TABLES  # noqa: E402
 
-# One representative per round-7 fuzz failure family:
+# One representative per fuzz failure family, pinned to the SEED that
+# first tripped it (a family found by seed N is only red-fenced by
+# seed N's value surface — seed 1 rolled 150/150 against the very code
+# seed 3 broke):
 KEYS = [
-    "q_corr_spearman",   # NULL group key survives the rank LUT join
-    "q_agg_mad",         # NULL group key survives the median join-back
-    "q_quantile_bucket",  # NULL group key survives the ntile offsets join
-    "q_scrape",          # markup-like tokens escape into the h1, round-trip
-    "q_fn_date",         # fractional-second epoch floors on both engines
-    "q_dropna_any",      # dropna(any) drops on EVERY column
-    "q_count_gate",      # same contract through the gate CTE
-    "q_decontaminate",   # NULL-text benchmark doc contributes no grams
-    "q_agg_salted",      # scale-4 exact decimal sums, any partitioning
-    "q_win_range",       # same, through a range-frame window
+    # -- seed 1 harvest (round 7, 16 failures / 6 families) --
+    (1, "q_corr_spearman"),   # NULL group key survives the rank LUT join
+    (1, "q_agg_mad"),         # NULL group key survives the median join-back
+    (1, "q_quantile_bucket"),  # NULL group key survives the ntile offsets join
+    (1, "q_scrape"),          # markup-like tokens escape into the h1, round-trip
+    (1, "q_fn_date"),         # fractional-second epoch floors on both engines
+    (1, "q_dropna_any"),      # dropna(any) drops on EVERY column
+    (1, "q_count_gate"),      # same contract through the gate CTE
+    (1, "q_decontaminate"),   # NULL-text benchmark doc contributes no grams
+    (1, "q_agg_salted"),      # scale-4 exact decimal sums, any partitioning
+    (1, "q_win_range"),       # same, through a range-frame window
+    # -- seed 3 harvest (round 7, 1 failure) --
+    (3, "q_outliers"),        # Σv² squares IN DECIMAL: dec(v)·dec(v), never
+    #                           dec(v·v) — the double product is inexact past
+    #                           2^53 and the engines round it differently
 ]
-
-SEED = 1
 
 
 @pytest.fixture(scope="module")
-def fuzz_fixture(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp(f"fuzz{SEED}"))
-    sys.argv, argv = ["gen", "--seed", str(SEED), "--out", out], sys.argv
-    try:
-        gen_fuzz_data.main()
-    finally:
-        sys.argv = argv
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * "
-            f"FROM read_parquet('{out}/{t}.parquet')"
-        )
-    return out, con
+def fuzz_fixtures(tmp_path_factory):
+    built: dict[int, tuple[str, duckdb.DuckDBPyConnection]] = {}
+
+    def get(seed: int):
+        if seed not in built:
+            out = str(tmp_path_factory.mktemp(f"fuzz{seed}"))
+            sys.argv, argv = ["gen", "--seed", str(seed), "--out", out], sys.argv
+            try:
+                gen_fuzz_data.main()
+            finally:
+                sys.argv = argv
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{out}/{t}.parquet')"
+                )
+            built[seed] = (out, con)
+        return built[seed]
+
+    return get
 
 
-@pytest.mark.parametrize("key", KEYS)
-def test_fuzz_parity(key, spark, fuzz_fixture):
-    r = check_parity.check(key, fuzz_fixture[0], spark, fuzz_fixture[1])
+@pytest.mark.parametrize(("seed", "key"), KEYS)
+def test_fuzz_parity(seed, key, spark, fuzz_fixtures):
+    sf_dir, con = fuzz_fixtures(seed)
+    r = check_parity.check(key, sf_dir, spark, con)
     assert r["status"] in ("OK", "ROWS_ONLY"), r
