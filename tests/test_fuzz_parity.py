@@ -51,6 +51,12 @@ KEYS = [
     (3, "q_outliers"),        # Σv² squares IN DECIMAL: dec(v)·dec(v), never
     #                           dec(v·v) — the double product is inexact past
     #                           2^53 and the engines round it differently
+    # -- seed 5 harvest (round 7, 1 failure) --
+    (5, "q_agg_approx_percentile"),  # sketch verdict is a RANK window
+    #                           (p40..p60), not a value tolerance — approx
+    #                           returns an element, exact interpolates, and a
+    #                           gap around a small group's median breaks any
+    #                           value-percentage bound with zero rank error
 ]
 
 
