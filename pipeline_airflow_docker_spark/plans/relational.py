@@ -409,7 +409,13 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.countDistinct("l_partkey").alias("n_parts_exact"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            # rsd 0.01 puts the graded 5% bound at >=5 sigma of sketch
+            # error (rsd 0.02 left it at 2.5 sigma — a fresh fuzz seed
+            # could breach that honestly; same flaw class as the
+            # approx-percentile value-tolerance verdict, fixed round 7).
+            # At graded cardinalities the p=14 sketch is still in its
+            # linear-counting regime, i.e. near-exact.
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         )
         .select(
             "l_returnflag",
