@@ -1160,11 +1160,17 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # two legitimately differ by any amount (fuzz seed 5: 56 values,
 # exact = (25.5+28.5)/2 = 27.0, approx = the rank-correct element
 # 25.5 — 5.6% apart with ZERO rank error). approx_ok therefore
-# asserts approx lies between the exact p40 and p60 values: any
-# rank-correct element satisfies it (interpolated p40/p60 bracket
-# ranks 0.4n/0.6n, two hundred sketch-epsilons of slack), and it
-# stays a real accuracy gate — a sketch that drifted past ~10% rank
-# error fails it on any non-degenerate distribution.
+# asserts approx lies between the DISCRETE p40 and p60 order
+# statistics (percentile_disc — elements at ranks ceil(0.4n) and
+# ceil(0.6n)): any rank-correct element satisfies that for EVERY n,
+# and it stays a real accuracy gate — a sketch drifting past ~10%
+# rank error fails it on any non-degenerate distribution. The bounds
+# must be discrete, not interpolated: for n=2 distinct values the
+# interpolated p40/p60 both land strictly BETWEEN the two elements,
+# so no element passes — the hypothesis property
+# (test_approx_percentile_rank_window_total) falsified the
+# interpolated formulation with vals=[0.0, 0.0001] the day it was
+# written.
 #
 # Accuracy knob (measured at sf10, 60 M rows): QuantileSummaries
 # insert cost scales with the accuracy parameter — 10000 (the Spark
@@ -1188,21 +1194,24 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    pct = F.percentile(
-        "l_quantity", F.array(F.lit(0.4), F.lit(0.5), F.lit(0.6))
-    )
     return (
         li.groupBy("l_returnflag")
         .agg(
-            pct.alias("p"),
+            F.percentile("l_quantity", F.lit(0.5)).alias("exact"),
+            F.expr(
+                "percentile_disc(0.4) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("lo"),
+            F.expr(
+                "percentile_disc(0.6) WITHIN GROUP (ORDER BY l_quantity)"
+            ).alias("hi"),
             F.approx_percentile("l_quantity", F.lit(0.5), F.lit(1000)).alias("approx"),
         )
         .select(
             "l_returnflag",
-            F.round(F.col("p")[1], 6).alias("p50_exact"),
+            F.round("exact", 6).alias("p50_exact"),
             (
-                (F.col("approx") >= F.col("p")[0])
-                & (F.col("approx") <= F.col("p")[2])
+                (F.col("approx") >= F.col("lo"))
+                & (F.col("approx") <= F.col("hi"))
             ).alias("approx_ok"),
         )
         .orderBy("l_returnflag")

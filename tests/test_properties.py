@@ -761,3 +761,71 @@ def test_simhash_forms_are_bit_identical(texts, spark):
     }
     op = {r.id: r.simhash for r in simhash_docs(df, "doc_id", "text").collect()}
     assert ref == arith == op
+
+
+# 4dp-representable doubles up to |1e9| — the ingest contract's edge
+# (functions/numeric.py): ints up to 1e13 scaled by 1e-4 round-trip
+# exactly through DOUBLE and DECIMAL(18,4).
+VALS_4DP = st.lists(
+    st.integers(min_value=-(10**13), max_value=10**13).map(lambda i: i / 1e4),
+    min_size=2,
+    max_size=25,
+)
+
+
+@SLOW
+@given(vals=VALS_4DP, parts=st.integers(min_value=1, max_value=7))
+def test_zscore_stats_exact_and_partition_invariant(spark, vals, parts):
+    """The seed-3 fuzz class, engine-side: zscore_outliers' Σv and Σv²
+    must equal exact integer arithmetic for ANY 4dp input (the square
+    is taken in DECIMAL — dec(v)·dec(v); squaring the double first
+    breaks past v² > 2⁵³), and the full operator output — z bits
+    included — must not depend on partitioning."""
+    from decimal import Decimal
+
+    from pipeline_airflow_docker_spark.functions.numeric import davg, dec
+    from pipeline_airflow_docker_spark.operators.profile import zscore_outliers
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in vals], "k string, v double"
+    ).repartition(parts)
+    dv = dec(F.col("v"), 18, 4)
+    got = df.groupBy("k").agg(
+        F.sum(dv).alias("s"),
+        F.sum(dv * dv).alias("ss"),
+        davg("v").alias("mean"),
+    ).collect()[0]
+    exact = [Decimal(str(v)) for v in vals]
+    assert got["s"] == sum(exact)
+    assert got["ss"] == sum(e * e for e in exact)
+    assert got["mean"] == float(sum(exact)) / len(exact)
+
+    base = _sorted(zscore_outliers(df.coalesce(1), "k", "v").collect())
+    shuffled = _sorted(zscore_outliers(df.repartition(parts, "v"), "k", "v").collect())
+    assert base == shuffled
+
+
+@SLOW
+@given(vals=VALS_4DP)
+def test_approx_percentile_rank_window_total(spark, vals):
+    """The seed-5 fuzz class: the graded approx-percentile verdict is
+    a DISCRETE rank window (approx between percentile_disc(0.4) and
+    percentile_disc(0.6)), which any rank-correct element satisfies
+    for ANY distribution and ANY group size. This property falsified
+    the first fix (INTERPOLATED p40/p60 bounds) with vals=[0.0,
+    0.0001]: for two distinct values both interpolated bounds land
+    strictly between the elements, so no element can pass."""
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+    row = (
+        df.groupBy("k")
+        .agg(
+            F.expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY v)").alias("lo"),
+            F.expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY v)").alias("hi"),
+            F.approx_percentile("v", F.lit(0.5), F.lit(1000)).alias("a"),
+        )
+        .select(
+            ((F.col("a") >= F.col("lo")) & (F.col("a") <= F.col("hi"))).alias("ok")
+        )
+        .collect()[0]
+    )
+    assert row["ok"] is True
