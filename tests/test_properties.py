@@ -829,3 +829,74 @@ def test_approx_percentile_rank_window_total(spark, vals):
         .collect()[0]
     )
     assert row["ok"] is True
+
+
+SMALL_VALS = st.lists(
+    st.integers(min_value=-20_000, max_value=20_000).map(lambda i: i / 1e4),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(
+    vals_a=SMALL_VALS,
+    vals_b=SMALL_VALS,
+    width=st.sampled_from([0.5, 1.0, 3.0]),
+)
+def test_ks_statistic_matches_reference(spark, vals_a, vals_b, width):
+    """The binned-decomposition KS statistic (B47) must equal the
+    straightforward single-threaded reference on arbitrary two-sample
+    data: max over distinct values of |ECDF_a - ECDF_b| rounded to
+    6 dp, ties broken to the smallest value. The decomposition
+    (per-bin offsets + in-bin cumsums) is the scale machinery under
+    test — the reference has no bins at all."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pipeline_airflow_docker_spark.operators.profile import ks_statistic
+
+    rows = [("a", float(v)) for v in vals_a] + [("b", float(v)) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = ks_statistic(df, "v", "g", "a", "b", bin_width=width).collect()[0]
+
+    n_a, n_b = len(vals_a), len(vals_b)
+    best = None
+    ca = cb = 0
+    for v in sorted(set(vals_a) | set(vals_b)):
+        ca += sum(1 for x in vals_a if x == v)
+        cb += sum(1 for x in vals_b if x == v)
+        gap = abs(ca / n_a - cb / n_b)
+        gap = float(
+            Decimal(repr(gap)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        if best is None or gap > best[0]:
+            best = (gap, v)
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert (got["ks_stat"], got["at_value"]) == best
+
+
+@SLOW
+@given(
+    vals=SMALL_VALS,
+    width=st.sampled_from([0.5, 1.0, 3.0]),
+)
+def test_mode_median_matches_reference(spark, vals, width):
+    """mode_median (B46) must be reproducible on arbitrary data: the
+    mode is the most frequent floor(v/width) bin with ties broken to
+    the SMALLEST bin (built-in mode() leaves ties arbitrary — the
+    operator exists to remove that nondeterminism), and median_low is
+    the lower-median order statistic, never an interpolation."""
+    import math
+    from collections import Counter
+
+    from pipeline_airflow_docker_spark.operators.profile import mode_median
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "k string, v double")
+    got = mode_median(df, "k", "v", bin_width=width).collect()[0]
+
+    bins = Counter(math.floor(v / width) for v in vals)
+    mode_bin, mode_count = min(bins.items(), key=lambda kv: (-kv[1], kv[0]))
+    median_low = sorted(vals)[(len(vals) - 1) // 2]
+    assert got["n"] == len(vals)
+    assert (got["mode_bin"], got["mode_count"]) == (mode_bin, mode_count)
+    assert got["median_low"] == median_low
