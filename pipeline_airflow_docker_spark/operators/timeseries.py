@@ -1,0 +1,124 @@
+"""Time-series resample / gap-fill (B25, hypertable-rollup shape).
+
+Extracted from plans/relational.py in round 7 when the timestamp-era
+fuzz block proved the min..max grid is UNBOUNDED against dirty data:
+one corrupt 1900 row plus one year-9999 row under the same key makes
+the per-key hour grid ~71 million buckets, and the sequence explode
+OOM-killed a 128 GiB local[32] JVM. On a 1000-executor cluster the
+same single bad row pair takes down the stage — so, exactly like the
+dedup pair-budget guard (operators/dedup.py), the operator now counts
+the fill work it is about to generate and refuses loudly when it
+exceeds a budget, naming the remedy (filter the input to the fill
+window you actually want — real hypertable rollups fill a
+query-specified range, never data min..max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Ceiling on generated (missing) buckets per gap_fill_hourly call.
+# 10M rows of (key, ts, two nulls) is well inside one executor's
+# explode budget; a grid that big almost always means corrupt
+# timestamps, not a real rollup.
+FILL_STEP_CEILING = 10_000_000
+
+
+def _hourly(df: DataFrame, key_col: str, ts_col: str, value_col: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.functions.numeric import dsum  # noqa: PLC0415
+
+    return df.groupBy(
+        key_col, F.date_trunc("hour", ts_col).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(value_col).alias("total"),
+    )
+
+
+def gap_fill_hourly(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_fill_steps: int | None = FILL_STEP_CEILING,
+) -> DataFrame:
+    """Hourly per-key rollup with JOINLESS gap generation and forward
+    fill: a lag window finds each gap between consecutive observed
+    buckets and a sequence-explode fills it — the union equals the
+    per-key min..max grid exactly — then ``last(ignorenulls)`` carries
+    the previous observed total forward. Totals are exact decimal
+    sums. Nothing grid-sized ever joins: the old grid + left-join
+    shape measured 43 s vs 12-18 s for this one at sf10. The lag and
+    fill windows share the key clustering (one exchange).
+
+    ``max_fill_steps`` guards the explode: the gaps are counted BEFORE
+    any row is generated (one aggregate job over the bucket table —
+    cheap next to the fill itself) and the call raises when the grid
+    would exceed the budget. ``None`` opts out. The guard exists
+    because the min..max grid is unbounded against corrupt timestamps:
+    a single 1900/9999 row pair under one key is a ~71M-bucket grid
+    (found by the round-7 timestamp-era fuzz block, which OOM-killed
+    the JVM here). Filter the input to the fill range you mean —
+    e.g. ``df.filter((F.col(ts) >= lo) & (F.col(ts) < hi))`` — rather
+    than raising the budget.
+    """
+    hourly = _hourly(df, key_col, ts_col, value_col)
+    hour = F.expr("INTERVAL 1 HOUR")
+    w_lag = Window.partitionBy(key_col).orderBy("bucket")
+    with_prev = hourly.withColumn("__prev", F.lag("bucket").over(w_lag))
+
+    if max_fill_steps is not None:
+        # bucket boundaries are whole hours, so second arithmetic is
+        # exact; steps = hours strictly between consecutive buckets.
+        step: Column = (
+            (
+                F.unix_timestamp("bucket") - F.unix_timestamp("__prev")
+            ) / 3600 - 1
+        ).cast("long")
+        n_steps = (
+            with_prev.filter(F.col("__prev").isNotNull())
+            .agg(F.sum(F.greatest(step, F.lit(0))).alias("n"))
+            .collect()[0]["n"]
+        ) or 0
+        if n_steps > max_fill_steps:
+            raise ValueError(
+                f"gap_fill_hourly would generate {n_steps:,} missing "
+                f"buckets, over max_fill_steps={max_fill_steps:,}. The "
+                f"min..max grid is unbounded against corrupt "
+                f"timestamps — filter '{ts_col}' to the fill window "
+                f"you actually want (or pass max_fill_steps=None to "
+                f"opt out)."
+            )
+
+    gaps = (
+        with_prev.filter(
+            F.col("__prev").isNotNull()
+            & (F.col("bucket") > F.col("__prev") + hour)
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("__prev") + hour, F.col("bucket") - hour, hour
+                )
+            ).alias("bucket"),
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast(hourly.schema["total"].dataType).alias("total"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hourly.unionByName(gaps)
+        .select(
+            key_col,
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+            F.last("total", ignorenulls=True).over(w).alias("ffill_total"),
+        )
+    )

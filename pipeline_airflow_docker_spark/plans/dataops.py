@@ -601,7 +601,13 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_intervals_merge",
     oracle="""
     WITH iv AS (
+      -- the fabricated [ts, ts+5min) activity intervals inherit the
+      -- event-time plausibility horizon (see plans/streaming_q.py):
+      -- a year-9999 event's interval END leaves the representable
+      -- Python datetime range at collect (era-fuzz find, round 7)
       SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts < TIMESTAMP '2025-01-01 00:00:00'
     ),
     flagged AS (
       SELECT user_id, s, e,
@@ -628,10 +634,17 @@ def q_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         coalesce_intervals,
     )
 
-    iv = table(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("ts").alias("s"),
-        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+    iv = (
+        table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("s"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("e"),
+        )
     )
     return coalesce_intervals(iv, "user_id", "s", "e").groupBy(
         "user_id", "island"

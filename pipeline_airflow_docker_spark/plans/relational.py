@@ -30,12 +30,20 @@ from pipeline_airflow_docker_spark.plans.registry import query
 # billions of rows to 6 groups per task before the shuffle.
 # --------------------------------------------------------------------
 
-# Two cross-engine cliffs pinned here (this SQL text runs on BOTH
+# Three cross-engine cliffs pinned here (this SQL text runs on BOTH
 # engines via q_sql_entry):
 # 1. (1±x) factors NARROWED to DECIMAL(8,4): with both factors at
 #    (18,4) the three-way product exceeds 38 digits and the engines
 #    degrade differently; at (18,4)x(8,4)x(8,4) it is 34-36 digits —
 #    EXACT decimal end-to-end in both.
+# 1b. The first product is explicitly re-widened to DECIMAL(28,8)
+#    before the second multiply: DuckDB types (18,4)x(8,4) as
+#    DECIMAL(18,8) — width CAPPED, unlike Spark's (27,8) — so the
+#    tax multiply's rescale to scale 12 overflows 18 digits once
+#    |l_extendedprice| reaches ~1e7 (era-fuzz rows with pre-1998
+#    shipdates were the first fuzz measures ever admitted by this
+#    query's filter). After the cast both engines stay exact:
+#    Spark (37,12), DuckDB (36,12).
 # 2. decimal -> double goes through a STRING round-trip: DuckDB's
 #    int128-decimal -> DOUBLE cast divides in floating point and is
 #    NOT correctly rounded (observed 4e-9 off on sum_charge at
@@ -50,8 +58,9 @@ SELECT
   CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4)))
             AS STRING) AS DOUBLE) AS sum_disc_price,
-  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-               * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))
+                     AS DECIMAL(28,8))
                * CAST(1 + CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(8,4)))
             AS STRING) AS DOUBLE) AS sum_charge,
   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
@@ -693,12 +702,16 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(o_orderdate AS DATE) AS order_date,
            CAST(DATE_DIFF('day', o_orderdate, DATE '2002-01-01') AS INT) AS days_to_2002,
-           -- FLOOR before the cast: EPOCH returns fractional seconds
-           -- and DuckDB's double->bigint cast ROUNDS, while Spark's
-           -- unix_timestamp floors — they diverge on .5+ fractions
-           -- (caught by the fuzz fixture's microsecond-jittered
-           -- o_orderdate; the base fixture has midnight-only orders)
-           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS epoch_sec,
+           -- epoch_us // 1000000: exact integer division TRUNCATING
+           -- toward zero — measured, this is what Spark's
+           -- unix_timestamp does (1969-12-31 23:59:59.5 -> 0, NOT the
+           -- floor -1). The previous FLOOR(EPOCH(..)) was wrong on
+           -- two edges the 2024-only fixtures never rolled: pre-1970
+           -- fractions (floor != trunc) and far-future years (EPOCH
+           -- returns a DOUBLE whose ulp at year 9999 is ~30 us, so
+           -- .999999 rounds UP a whole second before FLOOR sees it).
+           -- DuckDB's // on BIGINT truncates, matching exactly.
+           epoch_us(o_orderdate) // 1000000 AS epoch_sec,
            STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso
     FROM orders
     """,
@@ -1286,9 +1299,13 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grid exactly, so the oracle keeps the textbook grid + left-join
 # formulation) — totals in exact decimal, and a forward-fill of the
 # last observed total via last(ignorenulls) — the standard
-# state-carry-forward for sensor/event rollups. The lag and fill
-# windows share the user clustering; nothing grid-sized ever joins
-# (the old grid left-join measured 43 s vs 12-18 s at sf10).
+# state-carry-forward for sensor/event rollups. Machinery lives in
+# operators/timeseries.py::gap_fill_hourly, which guards the explode
+# with a fill-step budget (the round-7 era-fuzz block proved a single
+# 1900/9999 row pair makes a ~71M-bucket per-user grid and OOM-kills
+# the JVM). The qkey rolls up an EXPLICIT fill window — calendar 2024,
+# which admits every base/fuzz-jitter row — because a real rollup
+# fills the range the dashboard asked for, never data min..max.
 # --------------------------------------------------------------------
 @query(
     "q_gapfill",
@@ -1297,7 +1314,10 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, date_trunc('hour', ts) AS bucket,
              COUNT(*) AS n_events,
              CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total
-      FROM events GROUP BY 1, 2
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts < TIMESTAMP '2025-01-01 00:00:00'
+      GROUP BY 1, 2
     ),
     bounds AS (
       SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
@@ -1320,56 +1340,15 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_airflow_docker_spark.functions.numeric import dsum  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.operators.timeseries import (  # noqa: PLC0415
+        gap_fill_hourly,
+    )
 
-    e = table(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        dsum("value").alias("total"),
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
     )
-    # Joinless gap generation: the per-user hour grid [min..max] equals
-    # the observed buckets plus every hour strictly between consecutive
-    # observed buckets, so the missing rows come from a lag window +
-    # explode — no bounds aggregate, no grid-sized equi-join back to
-    # hourly (the old shape shuffled the full grid through a join;
-    # measured 43 s -> 12-18 s at sf10). The lag window and the
-    # forward-fill window share the user_id clustering.
-    hour = F.expr("INTERVAL 1 HOUR")
-    w_lag = Window.partitionBy("user_id").orderBy("bucket")
-    gaps = (
-        hourly.withColumn("__prev", F.lag("bucket").over(w_lag))
-        .filter(
-            F.col("__prev").isNotNull()
-            & (F.col("bucket") > F.col("__prev") + hour)
-        )
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence(
-                    F.col("__prev") + hour, F.col("bucket") - hour, hour
-                )
-            ).alias("bucket"),
-            F.lit(None).cast("long").alias("n_events"),
-            F.lit(None).cast(hourly.schema["total"].dataType).alias("total"),
-        )
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        hourly.unionByName(gaps)
-        .select(
-            "user_id",
-            "bucket",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.coalesce("total", F.lit(0.0)).alias("total"),
-            F.last("total", ignorenulls=True).over(w).alias("ffill_total"),
-        )
-    )
+    return gap_fill_hourly(e, "user_id", "ts", "value")
 
 
 # --------------------------------------------------------------------

@@ -34,6 +34,32 @@ from pipeline_airflow_docker_spark.streaming.windows import (
 
 _DSUM_VALUE = "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value"
 
+# Event-time plausibility horizon for the event-time-STATEFUL keys
+# (watermark dedup/late-drop/session/interval-join and anything doing
+# max_ts+delta sentinel arithmetic). One corrupt far-future event
+# advances the watermark past all real traffic and silently drops it —
+# the round-7 timestamp-era fuzz block (1900..9999 rows) produced
+# exactly that (plus year-10000 overflows in session/window-END
+# arithmetic at collect). A production event-time pipeline declares
+# the horizon it believes in and rejects the rest at ingest; these
+# keys declare calendar 2024 (all base/jitter fixture traffic), and
+# each oracle applies the IDENTICAL bound. Keys that are not
+# event-time-stateful (e.g. q_stream_tumbling's complete-mode rollup)
+# process far-future rows fine and take no filter.
+_TS_LO, _TS_HI = "2024-01-01 00:00:00", "2025-01-01 00:00:00"
+_PLAUSIBLE_SQL = (
+    f"ts >= TIMESTAMP '{_TS_LO}' AND ts < TIMESTAMP '{_TS_HI}'"
+)
+
+
+def _plausible(ev: DataFrame) -> DataFrame:
+    """Apply the declared event-time horizon (works on batch and
+    streaming frames; in streams it runs BEFORE any watermark)."""
+    return ev.filter(
+        (F.col("ts") >= F.lit(_TS_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_TS_HI).cast("timestamp"))
+    )
+
 
 # --------------------------------------------------------------------
 # Tumbling windows (generalizes the reference's per-batch counters,
@@ -86,7 +112,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL 10 MINUTE OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE {_PLAUSIBLE_SQL}
     ),
     s AS (
       SELECT user_id, ts, value,
@@ -101,7 +127,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = stream_table(spark, sf_dir, "events")
+    ev = _plausible(stream_table(spark, sf_dir, "events"))
     return run_to_df(session_counts(ev, "10 minutes"), output_mode="complete")
 
 
@@ -112,10 +138,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q_stream_dedup",
-    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+    oracle=f"SELECT event_id, ts, user_id, event_type, value, props "
+    f"FROM events WHERE {_PLAUSIBLE_SQL}",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = stream_table(spark, sf_dir, "events")
+    ev = _plausible(stream_table(spark, sf_dir, "events"))
     redelivered = ev.unionByName(ev)
     return run_to_df(
         dedup_by_key(redelivered, ["event_id"]), output_mode="append"
@@ -239,10 +266,11 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q_stream_stream_join",
-    oracle="""
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE {_PLAUSIBLE_SQL})
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,
            a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
-    FROM events a JOIN events b
+    FROM p a JOIN p b
       ON a.user_id = b.user_id
      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
     WHERE a.event_type = 'click' AND b.event_type = 'purchase'
@@ -253,10 +281,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join,
     )
 
-    clicks = stream_table(spark, sf_dir, "events").where(
+    clicks = _plausible(stream_table(spark, sf_dir, "events")).where(
         F.col("event_type") == "click"
     )
-    purchases = stream_table(spark, sf_dir, "events").where(
+    purchases = _plausible(stream_table(spark, sf_dir, "events")).where(
         F.col("event_type") == "purchase"
     )
     joined = interval_join(
@@ -298,10 +326,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q_stream_join_outer",
-    oracle="""
+    oracle=f"""
+    WITH p AS (SELECT * FROM events WHERE {_PLAUSIBLE_SQL})
     SELECT a.event_id AS click_id, b.event_id AS purchase_id,
            a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
-    FROM events a LEFT JOIN events b
+    FROM p a LEFT JOIN p b
       ON a.user_id = b.user_id
      AND b.event_type = 'purchase'
      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
@@ -331,6 +360,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r.ts").alias("purchase_ts"),
         )
 
+    ev = _plausible(ev)  # sentinel anchor max_ts+50h must stay in range
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
     if max_ts is None:
         # Empty source: there is no max ts to anchor the watermark
@@ -404,7 +434,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events, {_DSUM_VALUE}
-    FROM events GROUP BY 1, 2
+    FROM events WHERE {_PLAUSIBLE_SQL} GROUP BY 1, 2
     """,
 )
 def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,7 +444,7 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_files,
     )
 
-    ev = table(spark, sf_dir, "events")
+    ev = _plausible(table(spark, sf_dir, "events"))
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     if hi is None:
         # Empty source (see q_stream_join_outer): run the SAME windowed
@@ -470,13 +500,13 @@ __all__ = ["latest_by_key"]
 # --------------------------------------------------------------------
 @query(
     "q_stream_e2e",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
            CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
     FROM events
-    WHERE event_type IN ('click', 'purchase')
+    WHERE event_type IN ('click', 'purchase') AND {_PLAUSIBLE_SQL}
     GROUP BY 1, 2
     """,
 )
@@ -486,7 +516,9 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts,
     )
 
-    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    ev = _plausible(
+        stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
+    )
     redelivered = ev.unionByName(ev)  # at-least-once delivery simulated
     deduped = dedup_by_key(redelivered, ["event_id"])
     filtered = deduped.filter(F.col("event_type").isin("click", "purchase"))
