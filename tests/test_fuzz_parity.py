@@ -57,6 +57,22 @@ KEYS = [
     #                           returns an element, exact interpolates, and a
     #                           gap around a small group's median breaks any
     #                           value-percentage bound with zero rank error
+    # -- timestamp-era harvest (round 7; the 1900..9999 block rolls on
+    #    every seed, so these pin on seed 3, the first era sweep) --
+    (3, "q_gapfill"),         # fill-step budget + explicit calendar-2024
+    #                           window: min..max grids are unbounded vs
+    #                           corrupt ts (one 1900/9999 pair OOM'd the JVM)
+    (3, "q_agg_group"),       # DuckDB caps decimal multiply width at
+    #                           max(p1,p2): sum_charge needs the explicit
+    #                           DECIMAL(28,8) re-widen to stay exact
+    (3, "q_fn_date"),         # epoch_us // 1000000: unix_timestamp
+    #                           TRUNCATES (not floors) pre-1970 fractions;
+    #                           double EPOCH() loses micros at year 9999
+    (3, "q_intervals_merge"),  # plausibility horizon: a 9999 interval END
+    #                           leaves the datetime-representable range
+    (3, "q_stream_dedup"),    # watermark poisoning: one far-future event
+    #                           silently drops all real traffic without the
+    #                           declared event-time horizon
 ]
 
 
