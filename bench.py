@@ -38,6 +38,104 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pipeline_airflow_docker_spark import plans  # noqa: E402
 from pipeline_airflow_docker_spark.session import get_spark  # noqa: E402
 
+# ------------------------------------------------------------------
+# Host-drag calibration (round 8). Two of seven official BENCH records
+# (r05, r07) were contaminated by multi-tenant host degradation —
+# untouched keys with byte-identical plans measured 1.5-2.5x slower,
+# and each time a round of adjudication was spent proving the code
+# innocent. The fix: every bench run measures two FIXED-WORK probes
+# (whose cost depends only on host speed, never on this repo's code)
+# before and after the query loop and reports the ratio against a
+# committed clean-host reference (tools/bench_calibration.json,
+# recorded by tools/record_calibration.py). drag_ratio ~1.0 = numbers
+# comparable across rounds; >>1 = the HOST is slow and the run's
+# numbers must not be read as a code regression. tools/bench_ab.py
+# refuses to compare when the ratio exceeds its envelope.
+# ------------------------------------------------------------------
+CALIBRATION_REF = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "bench_calibration.json"
+)
+
+
+def cpu_probe(reps: int = 5, rounds: int = 256) -> float:
+    """Single-core fixed-work probe: sha256 over a deterministic 1 MiB
+    buffer, ``rounds`` times (~256 MiB hashed at C speed, allocation
+    free). Returns the min across ``reps`` — the same intrinsic-cost
+    estimator the bench itself uses."""
+    import hashlib  # noqa: PLC0415
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            hashlib.sha256(buf).digest()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def mem_probe(reps: int = 5, rounds: int = 16) -> float:
+    """Memory-bandwidth fixed-work probe: 64 MiB buffer copied
+    ``rounds`` times (~1 GiB moved, far past L3 so it measures DRAM
+    bandwidth — a host-drag dimension neither the sha256 loop nor the
+    codegen job sees, and the one a noisy co-tenant saturates first)."""
+    import numpy as np  # noqa: PLC0415
+
+    src = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
+    dst = np.empty_like(src)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            np.copyto(dst, src)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def spark_probe(spark, reps: int = 3) -> float:
+    """Fixed-work canonical Spark job on the bench session: 32-part
+    range -> xxhash64 -> sum (pure whole-stage codegen, no I/O, no
+    shuffle beyond the 32-row reduce). Captures JVM task-scheduling
+    and parallel-compute drag that the single-core probe cannot see.
+    One discarded warmup pays this plan's codegen compile."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).agg(
+            F.sum(F.xxhash64("id")).alias("h")
+        ).collect()
+        return time.perf_counter() - t0
+
+    run()  # codegen warmup, discarded
+    return min(run() for _ in range(reps))
+
+
+def calibration_record(spark) -> dict:
+    """Measure both probes now and fold in the committed clean-host
+    reference. ``drag_ratio`` is the max over probes of measured/ref
+    (worst-case slowdown); null when no reference is committed."""
+    rec = {
+        "cpu_sec": round(cpu_probe(), 4),
+        "mem_sec": round(mem_probe(), 4),
+        "spark_sec": round(spark_probe(spark), 4),
+    }
+    try:
+        with open(CALIBRATION_REF) as fh:
+            ref = json.load(fh)
+        for k in ("cpu", "mem", "spark"):
+            rec[f"{k}_ref_sec"] = ref[f"{k}_sec"]
+        rec["drag_ratio"] = round(
+            max(
+                rec[f"{k}_sec"] / ref[f"{k}_sec"]
+                for k in ("cpu", "mem", "spark")
+            ),
+            3,
+        )
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        rec["drag_ratio"] = None
+    return rec
+
 # Headline set: one per operator family (scan+filter, agg, joins of
 # each shape, window, top-k, set ops, functions, UDF boundary), plus
 # the LLM-pipeline north-star path (minhash dedup, chunking, ANN).
@@ -187,6 +285,9 @@ def main() -> int:
     warm.collect()
     plans.QUERIES["q_topk"](spark, sf_dir).collect()
 
+    cal_pre = calibration_record(spark)
+    print(f"# calibration (pre): {cal_pre}", file=sys.stderr)
+
     scratch = None
     part_path = None
     if PRUNE_KEY in keys or BUCKET_KEY in keys:
@@ -297,6 +398,34 @@ def main() -> int:
         if scratch:
             shutil.rmtree(scratch, ignore_errors=True)
 
+    cal_post = calibration_record(spark)
+    print(f"# calibration (post): {cal_post}", file=sys.stderr)
+    probes = ("cpu", "mem", "spark")
+    calibration = {}
+    for k in probes:
+        calibration[f"{k}_sec_pre"] = cal_pre[f"{k}_sec"]
+        calibration[f"{k}_sec_post"] = cal_post[f"{k}_sec"]
+        calibration[f"{k}_ref_sec"] = cal_pre.get(f"{k}_ref_sec")
+    # Per probe, compare min(pre, post) to the reference: the post
+    # probe runs JVM-warm (comparable to the reference's recorded
+    # minima — the spark probe's JIT tail spans ~10 executions, so a
+    # fresh-session pre reading is legitimately slower), while
+    # SUSTAINED host degradation — the r05/r07 class, which lasted
+    # hours — inflates both sides. Transient mid-run noise is already
+    # absorbed by each key's min-of-reps. Overall ratio = worst probe.
+    calibration["drag_ratio"] = (
+        round(
+            max(
+                min(cal_pre[f"{k}_sec"], cal_post[f"{k}_sec"])
+                / cal_pre[f"{k}_ref_sec"]
+                for k in probes
+            ),
+            3,
+        )
+        if all(cal_pre.get(f"{k}_ref_sec") for k in probes)
+        else None
+    )
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
@@ -305,6 +434,7 @@ def main() -> int:
         "queries": timings,
         "queries_median": medians,
         "sf": sf,
+        "calibration": calibration,
     }))
     return 0
 

@@ -57,16 +57,19 @@ def test_key_missing_from_baseline_exits_2(tmp_path, monkeypatch, capsys):
     assert "q_gone" in capsys.readouterr().err
 
 
-def _stub_bench(monkeypatch, queries: dict, medians: dict) -> None:
+def _stub_bench(
+    monkeypatch, queries: dict, medians: dict, calibration: dict | None = None
+) -> None:
     """Replace the bench.py subprocess with a canned one-line result."""
+    rec = {"queries": queries, "queries_median": medians}
+    if calibration is not None:
+        rec["calibration"] = calibration
 
     def fake_run(*a, **kw):
         class P:
             returncode = 0
             stderr = ""
-            stdout = json.dumps(
-                {"queries": queries, "queries_median": medians}
-            )
+            stdout = json.dumps(rec)
 
         return P()
 
@@ -90,6 +93,59 @@ def test_key_dropped_by_registry_filter_exits_2(tmp_path, monkeypatch, capsys):
     )
     assert bench_ab.main() == 2
     assert "q_dropped" in capsys.readouterr().err
+
+
+def test_degraded_host_refused(tmp_path, monkeypatch, capsys):
+    """A run whose calibration probes came back slow (drag_ratio over
+    --max-drag) measures the HOST, not the code — bench_ab must exit 2
+    instead of printing per-key numbers that could only mislead (the
+    r05/r07 BENCH-poisoning class)."""
+    rec = {"queries": {"q_x": 1.0}, "queries_median": {"q_x": 1.1}}
+    path = _write_baseline(tmp_path, rec)
+    _stub_bench(
+        monkeypatch, {"q_x": 1.0}, {"q_x": 1.1}, {"drag_ratio": 2.0}
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["bench_ab.py", "--baseline", path, "--keys", "q_x"]
+    )
+    assert bench_ab.main() == 2
+    assert "drag_ratio" in capsys.readouterr().err
+
+
+def test_clean_host_drag_passes_through(tmp_path, monkeypatch, capsys):
+    rec = {"queries": {"q_x": 1.0}, "queries_median": {"q_x": 1.1}}
+    path = _write_baseline(tmp_path, rec)
+    _stub_bench(
+        monkeypatch, {"q_x": 1.05}, {"q_x": 1.1}, {"drag_ratio": 1.04}
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["bench_ab.py", "--baseline", path, "--keys", "q_x"]
+    )
+    assert bench_ab.main() == 0
+    assert "PASS" in capsys.readouterr().out
+
+
+def test_missing_calibration_still_compares(tmp_path, monkeypatch, capsys):
+    """Old bench output (or a box with no committed reference) carries
+    no drag_ratio — the comparison must still run, not crash."""
+    rec = {"queries": {"q_x": 1.0}, "queries_median": {"q_x": 1.1}}
+    path = _write_baseline(tmp_path, rec)
+    _stub_bench(monkeypatch, {"q_x": 1.05}, {"q_x": 1.1})
+    monkeypatch.setattr(
+        sys, "argv", ["bench_ab.py", "--baseline", path, "--keys", "q_x"]
+    )
+    assert bench_ab.main() == 0
+
+
+def test_cpu_probe_fixed_work_is_positive():
+    """bench.cpu_probe measures pinned work: tiny parameters must
+    return a small positive duration (sanity — the probe's cost scales
+    with host speed only, and a zero/negative reading would poison
+    every drag ratio built on it)."""
+    import bench  # noqa: PLC0415
+
+    t = bench.cpu_probe(reps=1, rounds=2)
+    assert 0 < t < 5
 
 
 def test_pass_and_flag_verdicts(tmp_path, monkeypatch, capsys):

@@ -15,6 +15,11 @@ threshold (default 1.25 = the documented ±25% floor). Exit 1 if any
 key FLAGs — usable as a gate. Compare minima to minima: both sides are
 min-of-reps estimates of intrinsic plan cost; medians are shown for
 context only (see bench.py's docstring for why min, not median).
+
+Round 8: the run's host-drag calibration (bench.py's fixed-work probes
+vs tools/bench_calibration.json) gates the comparison — a drag_ratio
+over ``--max-drag`` (default 1.30) exits 2 instead of printing numbers
+that could only mislead.
 """
 
 from __future__ import annotations
@@ -58,6 +63,15 @@ def main() -> int:
     ap.add_argument("--keys", required=True, help="csv of qkeys")
     ap.add_argument("--reps", type=int, default=11)
     ap.add_argument("--threshold", type=float, default=1.25)
+    ap.add_argument(
+        "--max-drag",
+        type=float,
+        default=1.30,
+        help="refuse (exit 2) when the run's host-drag calibration "
+        "ratio exceeds this — numbers from a degraded host are not "
+        "comparable to the baseline (two BENCH records, r05/r07, were "
+        "poisoned exactly this way)",
+    )
     args = ap.parse_args()
 
     base_min, base_med = load_baseline(args.baseline)
@@ -81,6 +95,23 @@ def main() -> int:
         return 2
     line = proc.stdout.strip().splitlines()[-1]
     got = json.loads(line)
+
+    # Host-drag gate (round 8): bench.py measures fixed-work probes
+    # against the committed clean-host reference. A run whose probes
+    # came back slow is measuring the HOST, not the code — comparing it
+    # against a clean baseline can only produce false FLAGs, so refuse
+    # outright rather than emit numbers someone might believe.
+    drag = (got.get("calibration") or {}).get("drag_ratio")
+    if drag is not None:
+        print(f"host drag_ratio: {drag:.2f} (max {args.max_drag})")
+        if drag > args.max_drag:
+            print(
+                f"host degraded: calibration drag_ratio {drag:.2f} exceeds "
+                f"--max-drag {args.max_drag} — this run's numbers are not "
+                f"comparable to the baseline; rerun on a quiet box.",
+                file=sys.stderr,
+            )
+            return 2
 
     # A key present in the baseline but no longer in plans.QUERIES is
     # silently dropped by bench.py's registry filter; surface that as a
