@@ -1,0 +1,169 @@
+"""Real stdlib media codecs (operators/mediacodec.py) and the
+multimodal operators' real decode path (round 8 — closes the repo's
+last ``NotImplementedError`` stub).
+
+Covers: BMP/WAV encode->decode bit-exact round trips (odd widths for
+row padding, top-down BMPs, mono and stereo WAV), the refuse-loudly
+envelope (bad magic, truncated payloads, unsupported depths), and the
+full ``mapInPandas`` path: feature extraction / frame sampling /
+resize over REAL generated media (fake=False), including a NULL
+payload sharing the batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pipeline_airflow_docker_spark.operators import mediacodec as mc
+from pipeline_airflow_docker_spark.operators.multimodal import (
+    extract_features,
+    resize_media,
+    sample_frames,
+)
+
+RNG = np.random.default_rng(8)
+
+
+def _bmp(h=13, w=7) -> tuple[bytes, np.ndarray]:
+    img = RNG.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return mc.encode_bmp(img), img
+
+
+def _wav(n=500, ch=2, rate=8000) -> tuple[bytes, np.ndarray]:
+    samples = RNG.integers(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+    return mc.encode_wav(samples, rate), samples
+
+
+# ------------------------------------------------------------ codecs
+
+
+@pytest.mark.parametrize(("h", "w"), [(1, 1), (13, 7), (4, 4), (3, 5)])
+def test_bmp_round_trip_bit_exact(h, w):
+    """Odd widths force nonzero row padding; decode must strip it."""
+    data, img = _bmp(h, w)
+    assert np.array_equal(mc.decode_bmp(data), img)
+    assert mc.encode_bmp(mc.decode_bmp(data)) == data
+
+
+def test_bmp_top_down_height_negative():
+    """height < 0 stores rows top-first; decode normalizes to top row
+    first either way."""
+    data, img = _bmp(5, 3)
+    # Rewrite the height field to -5 and re-order rows to top-down.
+    import struct  # noqa: PLC0415
+
+    offset = mc._BMP_FILE_HDR.size
+    stride = (3 * 3 + 3) & ~3
+    body = bytearray(data)
+    struct.pack_into("<i", body, offset + 8, -5)
+    rows = [
+        bytes(data[54 + i * stride : 54 + (i + 1) * stride]) for i in range(5)
+    ]
+    body[54:] = b"".join(reversed(rows))
+    assert np.array_equal(mc.decode_bmp(bytes(body)), img)
+
+
+@pytest.mark.parametrize("ch", [1, 2])
+def test_wav_round_trip_bit_exact(ch):
+    data, samples = _wav(ch=ch)
+    out, rate = mc.decode_wav(data)
+    assert rate == 8000
+    assert np.array_equal(out, samples)
+    assert mc.encode_wav(out, rate) == data
+
+
+def test_wav_mono_1d_input_encodes():
+    flat = np.arange(-5, 5, dtype=np.int16)
+    out, _ = mc.decode_wav(mc.encode_wav(flat, 44100))
+    assert np.array_equal(out[:, 0], flat)
+
+
+def test_codec_refusals_name_the_envelope():
+    data, _ = _bmp()
+    wav, _ = _wav()
+    with pytest.raises(ValueError, match="magic"):
+        mc.decode_bmp(b"XX" + data[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        mc.decode_bmp(data[:-8])
+    with pytest.raises(ValueError, match="RIFF"):
+        mc.decode_wav(data)  # a BMP is not a WAV
+    # 8-bit WAV: rewrite bits_per_sample in the fmt chunk
+    import struct  # noqa: PLC0415
+
+    body = bytearray(wav)
+    struct.pack_into("<H", body, 12 + 8 + 14, 8)
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        mc.decode_wav(bytes(body))
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mc.decode_samples(b"\x00" * 64, "video/mp4")
+
+
+# --------------------------------------------- Spark real-decode path
+
+MEDIA_SCHEMA = (
+    "doc_id LONG, content BINARY, "
+    "meta STRUCT<mime: STRING, n_bytes: INT, sha256: STRING>"
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    bmp, img = _bmp()
+    wav, samples = _wav()
+    rows = [
+        (1, bytearray(bmp), ("image/bmp", len(bmp), "")),
+        (2, bytearray(wav), ("audio/wav", len(wav), "")),
+        (3, None, ("image/bmp", 0, "")),  # NULL payload shares the batch
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return df, {"bmp": (bmp, img), "wav": (wav, samples)}
+
+
+def test_real_features_match_decoded_stats(media_df):
+    df, src = media_df
+    rows = {r.doc_id: r for r in extract_features(df, n_features=8).collect()}
+    assert set(rows) == {1, 2}  # NULL payload: no feature row, no crash
+    bmp, img = src["bmp"]
+    wav, samples = src["wav"]
+    flat_img = img.reshape(-1).astype(np.int64)
+    flat_wav = samples.reshape(-1).astype(np.int64)
+    assert rows[1].n_bytes == len(bmp)  # encoded size, not decoded
+    assert rows[2].n_bytes == len(wav)
+    assert rows[1].mean_byte == pytest.approx(flat_img.mean())
+    assert rows[2].mean_byte == pytest.approx(flat_wav.mean())
+    for doc, flat in ((1, flat_img), (2, flat_wav)):
+        expect = np.bincount(flat % 8, minlength=8) / flat.size
+        assert rows[doc].feature == pytest.approx(expect.tolist())
+        assert sum(rows[doc].feature) == pytest.approx(1.0)
+
+
+def test_real_frames_window_decoded_payload(media_df):
+    df, src = media_df
+    frames = sample_frames(df, frame_size=64, every_k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    decoded = {
+        1: src["bmp"][1].tobytes(),  # pixel payload, padding stripped
+        2: src["wav"][1].tobytes(),  # PCM payload, headers stripped
+    }
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(len(rows)))
+        for r in rows:
+            start = r.frame_idx * 2 * 64
+            assert bytes(r.frame) == decoded[doc_id][start : start + 64]
+
+
+def test_real_resize_re_encodes_valid_media(media_df):
+    df, src = media_df
+    rows = {r.doc_id: r for r in resize_media(df, factor=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3].resized is None and rows[3].orig_bytes is None
+    img2 = mc.decode_bmp(bytes(rows[1].resized))
+    assert np.array_equal(img2, src["bmp"][1][::2, ::2])
+    samples2, rate2 = mc.decode_wav(bytes(rows[2].resized))
+    assert rate2 == 4000
+    assert np.array_equal(samples2, src["wav"][1][::2])
