@@ -602,7 +602,8 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH iv AS (
       -- the fabricated [ts, ts+5min) activity intervals inherit the
-      -- event-time plausibility horizon (see plans/streaming_q.py):
+      -- event-time plausibility horizon (plans/contracts.py,
+      -- applied via streaming/windows.py::plausible_event_time):
       -- a year-9999 event's interval END leaves the representable
       -- Python datetime range at collect (era-fuzz find, round 7)
       SELECT user_id, ts AS s, ts + INTERVAL 5 MINUTE AS e FROM events
@@ -633,12 +634,19 @@ def q_intervals_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.operators.intervals import (  # noqa: PLC0415
         coalesce_intervals,
     )
+    from pipeline_airflow_docker_spark.plans.contracts import (  # noqa: PLC0415
+        HORIZON_2024,
+    )
+    from pipeline_airflow_docker_spark.streaming.windows import (  # noqa: PLC0415
+        plausible_event_time,
+    )
 
+    # The fabricated [ts, ts+5min) activity intervals inherit the
+    # declared event-time horizon: a year-9999 interval END leaves the
+    # datetime-representable range at collect (era-fuzz find, round 7).
     iv = (
-        table(spark, sf_dir, "events")
-        .filter(
-            (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-            & (F.col("ts") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+        plausible_event_time(
+            table(spark, sf_dir, "events"), "ts", HORIZON_2024
         )
         .select(
             "user_id",

@@ -36,29 +36,28 @@ _DSUM_VALUE = "CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
 
 # Event-time plausibility horizon for the event-time-STATEFUL keys
 # (watermark dedup/late-drop/session/interval-join and anything doing
-# max_ts+delta sentinel arithmetic). One corrupt far-future event
-# advances the watermark past all real traffic and silently drops it —
-# the round-7 timestamp-era fuzz block (1900..9999 rows) produced
-# exactly that (plus year-10000 overflows in session/window-END
-# arithmetic at collect). A production event-time pipeline declares
-# the horizon it believes in and rejects the rest at ingest; these
-# keys declare calendar 2024 (all base/jitter fixture traffic), and
+# max_ts+delta sentinel arithmetic). The mechanism lives in the
+# operator layer (streaming/windows.py::plausible_event_time, a
+# ``horizon=`` parameter on every stateful builder — see there for the
+# watermark-poisoning rationale); these qkeys DECLARE the calendar-2024
+# value (plans/contracts.py — all base/jitter fixture traffic), and
 # each oracle applies the IDENTICAL bound. Keys that are not
 # event-time-stateful (e.g. q_stream_tumbling's complete-mode rollup)
 # process far-future rows fine and take no filter.
-_TS_LO, _TS_HI = "2024-01-01 00:00:00", "2025-01-01 00:00:00"
+from pipeline_airflow_docker_spark.plans.contracts import HORIZON_2024  # noqa: E402
+from pipeline_airflow_docker_spark.streaming.windows import (  # noqa: E402
+    plausible_event_time,
+)
+
 _PLAUSIBLE_SQL = (
-    f"ts >= TIMESTAMP '{_TS_LO}' AND ts < TIMESTAMP '{_TS_HI}'"
+    f"ts >= TIMESTAMP '{HORIZON_2024[0]}' AND ts < TIMESTAMP '{HORIZON_2024[1]}'"
 )
 
 
 def _plausible(ev: DataFrame) -> DataFrame:
-    """Apply the declared event-time horizon (works on batch and
-    streaming frames; in streams it runs BEFORE any watermark)."""
-    return ev.filter(
-        (F.col("ts") >= F.lit(_TS_LO).cast("timestamp"))
-        & (F.col("ts") < F.lit(_TS_HI).cast("timestamp"))
-    )
+    """The declared horizon, for the keys that must filter OUTSIDE an
+    operator call (batch anchors for sentinel arithmetic)."""
+    return plausible_event_time(ev, "ts", HORIZON_2024)
 
 
 # --------------------------------------------------------------------
@@ -127,8 +126,11 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _plausible(stream_table(spark, sf_dir, "events"))
-    return run_to_df(session_counts(ev, "10 minutes"), output_mode="complete")
+    ev = stream_table(spark, sf_dir, "events")
+    return run_to_df(
+        session_counts(ev, "10 minutes", horizon=HORIZON_2024),
+        output_mode="complete",
+    )
 
 
 # --------------------------------------------------------------------
@@ -142,10 +144,11 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"FROM events WHERE {_PLAUSIBLE_SQL}",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _plausible(stream_table(spark, sf_dir, "events"))
+    ev = stream_table(spark, sf_dir, "events")
     redelivered = ev.unionByName(ev)
     return run_to_df(
-        dedup_by_key(redelivered, ["event_id"]), output_mode="append"
+        dedup_by_key(redelivered, ["event_id"], horizon=HORIZON_2024),
+        output_mode="append",
     )
 
 
@@ -281,14 +284,19 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join,
     )
 
-    clicks = _plausible(stream_table(spark, sf_dir, "events")).where(
+    clicks = stream_table(spark, sf_dir, "events").where(
         F.col("event_type") == "click"
     )
-    purchases = _plausible(stream_table(spark, sf_dir, "events")).where(
+    purchases = stream_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     )
     joined = interval_join(
-        clicks, purchases, key="user_id", upper="30 minutes", watermark="2 hours"
+        clicks,
+        purchases,
+        key="user_id",
+        upper="30 minutes",
+        watermark="2 hours",
+        horizon=HORIZON_2024,
     )
     return run_to_df(
         joined.select(
@@ -516,11 +524,9 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts,
     )
 
-    ev = _plausible(
-        stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
-    )
+    ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
     redelivered = ev.unionByName(ev)  # at-least-once delivery simulated
-    deduped = dedup_by_key(redelivered, ["event_id"])
+    deduped = dedup_by_key(redelivered, ["event_id"], horizon=HORIZON_2024)
     filtered = deduped.filter(F.col("event_type").isin("click", "purchase"))
     agg = tumbling_counts(filtered, window="1 hour", delay=None)
     target = os.path.join(tempfile.mkdtemp(prefix="padspark_e2e_"), "serve")

