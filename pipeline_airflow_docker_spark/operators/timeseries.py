@@ -64,6 +64,20 @@ def gap_fill_hourly(
     than raising the budget.
     """
     hourly = _hourly(df, key_col, ts_col, value_col)
+    if max_fill_steps is not None:
+        # The guard's step count is an eager aggregate over the bucket
+        # table; materialize the hourly aggregate (functions/
+        # materialize.py — mode-pluggable, lineage-truncating) so that
+        # scan+aggregation is paid once and BOTH the guard count and
+        # the returned fill plan read the pinned buckets instead of
+        # re-aggregating the fact table (r07 ADVICE: the guard
+        # otherwise doubled the aggregation scan per call). The bucket
+        # table is hours x keys — tiny next to the input.
+        from pipeline_airflow_docker_spark.functions.materialize import (  # noqa: PLC0415
+            materialize,
+        )
+
+        hourly = materialize(hourly)
     hour = F.expr("INTERVAL 1 HOUR")
     w_lag = Window.partitionBy(key_col).orderBy("bucket")
     with_prev = hourly.withColumn("__prev", F.lag("bucket").over(w_lag))
@@ -82,6 +96,11 @@ def gap_fill_hourly(
             .collect()[0]["n"]
         ) or 0
         if n_steps > max_fill_steps:
+            from pipeline_airflow_docker_spark.functions.materialize import (  # noqa: PLC0415
+                release,
+            )
+
+            release(hourly)
             raise ValueError(
                 f"gap_fill_hourly would generate {n_steps:,} missing "
                 f"buckets, over max_fill_steps={max_fill_steps:,}. The "

@@ -97,7 +97,9 @@ def fuzz_fixtures(tmp_path_factory):
             built[seed] = (out, con)
         return built[seed]
 
-    return get
+    yield get
+    for _, con in built.values():
+        con.close()
 
 
 @pytest.mark.parametrize(("seed", "key"), KEYS)
