@@ -820,20 +820,65 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JSON-derived map<string,string>), filter (map_filter), and explode
 # to (key, value) rows. The oracle replays the exploded form as a
 # UNION ALL of the constructed entries plus json_keys expansion.
+#
+# The props ingest contract (round 8 — the JSON-malformation fuzz axis
+# crashed the original form with DUPLICATED_MAP_KEY on '{"a":1,"a":2}'
+# and exposed three more engine-divergence classes):
+#   1. Only STRICT-JSON objects contribute entries. Spark enforces it
+#      natively (allowSingleQuotes/allowNonNumericNumbers=false; the
+#      parser already rejects trailing commas and leading zeros).
+#      DuckDB's yyjson json_valid is lenient on exactly two extensions
+#      — NaN/Infinity literals and trailing commas — so the oracle
+#      carries two lexical guards run on a STRING-LITERAL-STRIPPED
+#      copy of the doc (every "..." replaced by ""), which makes them
+#      exact: a conforming doc can't contain those tokens outside
+#      strings.
+#   2. Duplicate-key objects are ambiguous (Spark can express only
+#      LAST_WIN, DuckDB json_extract reads the FIRST) and are treated
+#      like malformed docs: they contribute no entries. Detected
+#      engine-side via json_object_keys (returns dups), oracle-side
+#      via json_keys length vs list_distinct length.
+#   3. Props keys colliding with the built 'day'/'type' keys are
+#      excluded before map_concat (under EXCEPTION dedup policy a
+#      {"day": ...} doc would abort the job; the built entries win).
+#   4. Number-typed values re-serialize with different exponent
+#      spelling per engine ('1.5E308' vs '1.5e308'), so values split
+#      into value_str (non-numeric) and value_num (TRY_CAST DOUBLE) —
+#      numerics compare as typed doubles, not as raw text.
+# Malformed/NULL props parse to a NULL map; coalesce to the empty map
+# so bad props lose only their own entries, never the built ones.
 # --------------------------------------------------------------------
 @query(
     "q_fn_map",
-    oracle="""
-    SELECT event_id, 'day' AS key, CAST(CAST(ts AS DATE) AS VARCHAR) AS value
-    FROM events
-    UNION ALL
-    SELECT event_id, 'type', event_type FROM events
-    WHERE event_type IS NOT NULL
-    UNION ALL
-    SELECT e.event_id, k.key, json_extract_string(e.props, '$.' || k.key)
-    FROM (SELECT event_id, props FROM events WHERE json_valid(props)) e,
-         unnest(json_keys(e.props)) k(key)
-    WHERE json_extract_string(e.props, '$.' || k.key) IS NOT NULL
+    oracle=r"""
+    WITH ok AS (
+      SELECT event_id, props,
+             regexp_replace(props, '"([^"\\]|\\.)*"', '""', 'g') AS stripped
+      FROM events
+      WHERE json_valid(props)
+    ),
+    gated AS (
+      SELECT event_id, props FROM ok
+      WHERE NOT regexp_matches(stripped, '(NaN|Infinity)')
+        AND NOT regexp_matches(stripped, ',\s*[}\]]')
+        AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+    ),
+    entries AS (
+      SELECT event_id, 'day' AS key, CAST(CAST(ts AS DATE) AS VARCHAR) AS value
+      FROM events
+      UNION ALL
+      SELECT event_id, 'type', event_type FROM events
+      WHERE event_type IS NOT NULL
+      UNION ALL
+      SELECT g.event_id, k.key, json_extract_string(g.props, '$.' || k.key)
+      FROM gated g, unnest(json_keys(g.props)) k(key)
+      WHERE k.key NOT IN ('day', 'type')
+        AND json_extract_string(g.props, '$.' || k.key) IS NOT NULL
+    )
+    SELECT event_id, key,
+           CASE WHEN TRY_CAST(value AS DOUBLE) IS NULL THEN value END AS value_str,
+           TRY_CAST(value AS DOUBLE) AS value_num
+    FROM entries
     """,
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,17 +887,30 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("day"), F.to_date("ts").cast("string"),
         F.lit("type"), F.col("event_type"),
     )
-    # Malformed/NULL props parse to a NULL map, and map_concat with a
-    # NULL operand is NULL — which would drop the BUILT entries too.
-    # Coalesce to the empty map: bad props lose only their own entries.
+    jok = F.json_object_keys("props")
+    strict = F.from_json(
+        "props",
+        "map<string,string>",
+        {"allowSingleQuotes": "false", "allowNonNumericNumbers": "false"},
+    )
     parsed = F.coalesce(
-        F.from_json("props", "map<string,string>"),
+        F.when(F.size(jok) == F.size(F.array_distinct(jok)), strict),
         F.from_json(F.lit("{}"), "map<string,string>"),
     )
-    merged = F.map_filter(
-        F.map_concat(built, parsed), lambda k, v: v.isNotNull()
+    pruned = F.map_filter(
+        parsed, lambda k, v: (~k.isin("day", "type")) & v.isNotNull()
     )
-    return e.select("event_id", F.explode(merged).alias("key", "value"))
+    merged = F.map_filter(
+        F.map_concat(built, pruned), lambda k, v: v.isNotNull()
+    )
+    kv = e.select("event_id", F.explode(merged).alias("key", "value"))
+    num = F.col("value").cast("double")
+    return kv.select(
+        "event_id",
+        "key",
+        F.when(num.isNull(), F.col("value")).alias("value_str"),
+        num.alias("value_num"),
+    )
 
 
 # --------------------------------------------------------------------

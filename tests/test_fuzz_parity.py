@@ -73,6 +73,14 @@ KEYS = [
     (3, "q_stream_dedup"),    # watermark poisoning: one far-future event
     #                           silently drops all real traffic without the
     #                           declared event-time horizon
+    # -- JSON-malformation harvest (round 8, seed 8: the axis' first
+    #    sweep crashed q_fn_map with DUPLICATED_MAP_KEY and exposed
+    #    the strict-vs-yyjson validity gap) --
+    (8, "q_fn_map"),          # props contract: strict-JSON objects with
+    #                           unique keys contribute entries; dup-key docs
+    #                           are ambiguous (LAST_WIN vs first-match) and
+    #                           contribute none; numerics compare as typed
+    #                           doubles (exponent spelling diverges)
 ]
 
 
