@@ -845,6 +845,21 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      spelling per engine ('1.5E308' vs '1.5e308'), so values split
 #      into value_str (non-numeric) and value_num (TRY_CAST DOUBLE) —
 #      numerics compare as typed doubles, not as raw text.
+#   5. Keys are addressed by RFC 6901 JSON Pointer in the oracle
+#      ('/'||key with ~ -> ~0, / -> ~1) — the '$.'||key path form
+#      breaks on dotted/spaced keys and errors on quote keys. DuckDB's
+#      pointer treats the empty key nonconformantly (returns root), so
+#      docs containing an empty key are out of contract on both sides.
+#   6. Lone-surrogate escapes (\ud800 unpaired) parse under Jackson
+#      but are invalid under yyjson; the engine carries a raw-text
+#      guard (high escape not followed by low / low not preceded by
+#      high — valid pairs like 😀 stay in contract).
+#   7. Numeric overflow (1e999) re-serializes as the quoted artifact
+#      '"Infinity"' under Jackson and the bare string 'Infinity' under
+#      yyjson; the engine unquotes the artifact so both compare as
+#      value_num = +-inf. (A string value whose CONTENT is literally
+#      '"Infinity"' with embedded quotes would alias into this — out
+#      of contract, documented.)
 # Malformed/NULL props parse to a NULL map; coalesce to the empty map
 # so bad props lose only their own entries, never the built ones.
 # --------------------------------------------------------------------
@@ -862,6 +877,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE NOT regexp_matches(stripped, '(NaN|Infinity)')
         AND NOT regexp_matches(stripped, ',\s*[}\]]')
         AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+        AND NOT list_contains(json_keys(props), '')
     ),
     entries AS (
       SELECT event_id, 'day' AS key, CAST(CAST(ts AS DATE) AS VARCHAR) AS value
@@ -870,10 +886,15 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, 'type', event_type FROM events
       WHERE event_type IS NOT NULL
       UNION ALL
-      SELECT g.event_id, k.key, json_extract_string(g.props, '$.' || k.key)
+      SELECT g.event_id, k.key,
+             json_extract_string(
+               g.props, '/' || replace(replace(k.key, '~', '~0'), '/', '~1')
+             ) AS value
       FROM gated g, unnest(json_keys(g.props)) k(key)
       WHERE k.key NOT IN ('day', 'type')
-        AND json_extract_string(g.props, '$.' || k.key) IS NOT NULL
+        AND json_extract_string(
+              g.props, '/' || replace(replace(k.key, '~', '~0'), '/', '~1')
+            ) IS NOT NULL
     )
     SELECT event_id, key,
            CASE WHEN TRY_CAST(value AS DOUBLE) IS NULL THEN value END AS value_str,
@@ -893,8 +914,20 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "map<string,string>",
         {"allowSingleQuotes": "false", "allowNonNumericNumbers": "false"},
     )
+    # Unpaired-surrogate escape: high not followed by low, or low not
+    # preceded by high (valid pairs stay in contract). Jackson accepts
+    # these; yyjson rejects the whole doc.
+    lone_surrogate = (
+        r"(?i)(\\ud[89ab][0-9a-f]{2}(?!\\ud[c-f]))"
+        r"|((?<!\\ud[89ab][0-9a-f]{2})\\ud[c-f][0-9a-f]{2})"
+    )
+    ok = (
+        (F.size(jok) == F.size(F.array_distinct(jok)))
+        & (~F.array_contains(jok, F.lit("")))
+        & (~F.col("props").rlike(lone_surrogate))
+    )
     parsed = F.coalesce(
-        F.when(F.size(jok) == F.size(F.array_distinct(jok)), strict),
+        F.when(ok, strict),
         F.from_json(F.lit("{}"), "map<string,string>"),
     )
     pruned = F.map_filter(
@@ -904,6 +937,15 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_concat(built, pruned), lambda k, v: v.isNotNull()
     )
     kv = e.select("event_id", F.explode(merged).alias("key", "value"))
+    raw = F.col("value")
+    # Jackson renders numeric overflow as the quoted artifact
+    # '"Infinity"'; unquote so both engines compare it as +-inf.
+    value = (
+        F.when(raw == '"Infinity"', F.lit("Infinity"))
+        .when(raw == '"-Infinity"', F.lit("-Infinity"))
+        .otherwise(raw)
+    )
+    kv = kv.select("event_id", "key", value.alias("value"))
     num = F.col("value").cast("double")
     return kv.select(
         "event_id",
