@@ -1532,6 +1532,7 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(event_type) AS event_type_u
     FROM events
     WHERE json_valid(props)
+      AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
       AND TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) % 2 = 0
     """,
 )
@@ -1539,9 +1540,16 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     # try_parse_json: malformed/NULL props -> NULL VARIANT (parse_json
     # FAILFASTs the whole job on the first bad record — unusable on
-    # real corpora); try_variant_get: uncastable values (a string k)
-    # -> NULL instead of INVALID_VARIANT_CAST. NULL k rows then drop at
-    # the even-k filter, mirroring the oracle's TRY_CAST.
+    # real corpora); try_variant_get: uncastable values (a non-numeric
+    # string k) -> NULL instead of INVALID_VARIANT_CAST. NULL k rows
+    # then drop at the even-k filter, mirroring the oracle's TRY_CAST.
+    # Duplicate-key docs: the variant builder rejects them, so
+    # try_parse_json nulls the doc while DuckDB's json_extract would
+    # read the FIRST match — the oracle carries the matching
+    # outer-dup exclusion (round-8 JSON fuzz axis). Dups nested BELOW
+    # the outer level also null the variant but are invisible to
+    # json_keys; declared out of contract (the engine side is safe —
+    # the row drops, nothing crashes).
     k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
     return (
         e.select(
