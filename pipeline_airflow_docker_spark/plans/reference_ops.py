@@ -269,13 +269,26 @@ def q_nest_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CASE WHEN json_valid(props)
+                     AND len(json_keys(props))
+                         = len(list_distinct(json_keys(props)))
+                     AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                 THEN TRY_CAST(json_extract(props, '$.k') AS INT) END AS k,
            -- from_json's degenerate ladder, mirrored exactly (probed):
            -- NULL/empty input -> NULL; malformed or missing/uncastable
            -- k -> '{}' (to_json drops null fields); valid int -> kv.
+           -- Duplicate-key docs are ambiguous (struct assembly takes
+           -- the LAST match, json_extract the FIRST — round-8 fuzz
+           -- axis) and follow the malformed path: '{}'. The json_type
+           -- gate mirrors Jackson's field coercion exactly: an INT
+           -- struct field accepts only VALUE_NUMBER_INT tokens —
+           -- string "8" and double 4.5/1e3 k's are NULL engine-side,
+           -- where DuckDB's TRY_CAST would happily coerce them.
            CASE
              WHEN props IS NULL OR trim(props) = '' THEN NULL
              WHEN json_valid(props)
+                  AND len(json_keys(props))
+                      = len(list_distinct(json_keys(props)))
+                  AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                   AND TRY_CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
                THEN '{"k":'
                     || CAST(TRY_CAST(json_extract(props, '$.k') AS INT) AS VARCHAR)
@@ -286,8 +299,21 @@ def q_nest_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Duplicate outer keys: Jackson's struct assembly silently keeps
+    # the LAST occurrence — route those docs down the malformed path
+    # (all-null struct -> '{}') instead, matching the oracle's
+    # first-match-free contract. json_object_keys returns dups; it is
+    # NULL for invalid/non-object docs, where from_json's own ladder
+    # already matches the oracle (coalesce keeps those on that path).
+    jok = F.json_object_keys("props")
+    dup = F.coalesce(
+        F.size(jok) != F.size(F.array_distinct(jok)), F.lit(False)
+    )
     e = table(spark, sf_dir, "events").select(
-        "event_id", F.from_json(F.col("props"), "k INT").alias("r")
+        "event_id",
+        F.when(~dup, F.from_json(F.col("props"), "k INT"))
+        .otherwise(F.from_json(F.lit("{}"), "k INT"))
+        .alias("r"),
     )
     return e.select(
         "event_id",
