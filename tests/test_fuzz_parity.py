@@ -81,6 +81,13 @@ KEYS = [
     #                           are ambiguous (LAST_WIN vs first-match) and
     #                           contribute none; numerics compare as typed
     #                           doubles (exponent spelling diverges)
+    (8, "q_variant"),         # the variant builder NULLs any dup-key doc
+    #                           where json_extract reads the first match —
+    #                           oracle carries the outer-dup exclusion
+    (8, "q_json_roundtrip"),  # struct assembly keeps the LAST dup and an
+    #                           INT field accepts only VALUE_NUMBER_INT —
+    #                           dup docs follow the malformed path; oracle
+    #                           gates k on json_type IN (BIGINT, UBIGINT)
 ]
 
 
