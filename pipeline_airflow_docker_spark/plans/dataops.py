@@ -25,6 +25,7 @@ from pipeline_airflow_docker_spark.operators.textstats import (
     ngram_counts,
     vocabulary,
 )
+from pipeline_airflow_docker_spark.plans.contracts import INT_LITERAL_RE
 from pipeline_airflow_docker_spark.plans.registry import query
 
 
@@ -703,39 +704,54 @@ def q_charclass(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # B44 tolerant-cast quarantine — ANSI-safe ingestion: try_cast turns
 # malformed values into NULL instead of failing the job (Spark 4
-# Column.try_cast ≡ DuckDB TRY_CAST), and the quarantine COUNT is the
-# data-quality metric a pipeline gates on. Only integer-string casts
-# are graded: engines agree there, while TRY_CAST('29.46' AS INT) is
-# NULL under Spark's ANSI literal rules but 29 under DuckDB's
-# round-on-cast — a real cross-engine semantic cliff, documented here
-# and kept OUT of the contract. One grouped aggregate.
+# Column.try_cast ≡ DuckDB TRY_CAST on integer literals), and the
+# quarantine COUNT is the data-quality metric a pipeline gates on.
+# Only integer-string casts are graded, and since round 8 that
+# restriction is STRUCTURAL, not a fixture accident: both engines
+# apply contracts.INT_LITERAL_RE to the string before casting.
+# Ungated, the engines disagree on at least five classes — DuckDB
+# rounds decimal strings ('29.46' -> 29), hex-parses '0x10' -> 16,
+# and accepts '4_2' -> 42 where Spark's try_cast nulls all of them.
+# One grouped aggregate.
 # --------------------------------------------------------------------
 @query(
     "q_try_cast",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            COUNT(*) AS n_rows,
-           COUNT(TRY_CAST(CASE WHEN json_valid(props)
+           COUNT(TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(
+                                   json_extract_string(props, '$.k'),
+                                   '{INT_LITERAL_RE}')
                                THEN json_extract_string(props, '$.k') END
                           AS INT)) AS n_k_valid,
-           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props)
+           CAST(SUM(TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(
+                                      json_extract_string(props, '$.k'),
+                                      '{INT_LITERAL_RE}')
                                   THEN json_extract_string(props, '$.k') END
                              AS INT))
                 AS BIGINT) AS sum_k,
-           COUNT(TRY_CAST(event_type AS INT)) AS n_type_numeric
+           COUNT(TRY_CAST(CASE WHEN regexp_matches(event_type,
+                                                   '{INT_LITERAL_RE}')
+                               THEN event_type END
+                          AS INT)) AS n_type_numeric
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
 def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("int")
+    raw = F.get_json_object("props", "$.k")
+    k = F.when(raw.rlike(INT_LITERAL_RE), raw.try_cast("int"))
+    et_num = F.when(
+        F.col("event_type").rlike(INT_LITERAL_RE),
+        F.col("event_type").try_cast("int"),
+    )
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.count(k).alias("n_k_valid"),
             F.sum(k).alias("sum_k"),
-            F.count(F.col("event_type").try_cast("int")).alias("n_type_numeric"),
+            F.count(et_num).alias("n_type_numeric"),
         )
         .orderBy("event_type")
     )

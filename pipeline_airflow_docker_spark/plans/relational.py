@@ -18,6 +18,10 @@ from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.catalog import register_views, table
 from pipeline_airflow_docker_spark.functions import davg, dec, dsum
+from pipeline_airflow_docker_spark.plans.contracts import (
+    DOUBLE_LITERAL_RE,
+    INT_LITERAL_RE,
+)
 from pipeline_airflow_docker_spark.plans.registry import query
 
 # --------------------------------------------------------------------
@@ -767,23 +771,36 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # B17 JSON + array/higher-order functions over events.props and
-# documents.text.
+# documents.text. The k cast is gated on contracts.INT_LITERAL_RE —
+# the round-8 numeric-string probes showed raw cast semantics diverge
+# in five classes (legacy Spark cast TRUNCATES '4.5' to 4, DuckDB
+# TRY_CAST ROUNDS it to 5, hex/underscore forms parse on one engine
+# only), so the graded contract is "k whose string rendering is an
+# integer literal"; both engines apply the identical gate before the
+# cast, where they provably agree (incl. overflow -> NULL).
 # --------------------------------------------------------------------
 @query(
     "q_fn_json",
-    oracle="""
+    oracle=f"""
     SELECT event_id,
-           CASE WHEN json_valid(props)
-                THEN TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) END AS k,
-           CASE WHEN json_valid(props)
-                THEN TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) % 10 END AS k_bucket,
+           TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(
+                             json_extract_string(props, '$.k'),
+                             '{INT_LITERAL_RE}')
+                         THEN json_extract_string(props, '$.k') END
+                    AS INT) AS k,
+           TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(
+                             json_extract_string(props, '$.k'),
+                             '{INT_LITERAL_RE}')
+                         THEN json_extract_string(props, '$.k') END
+                    AS INT) % 10 AS k_bucket,
            CAST(LENGTH(props) AS INT) AS props_len
     FROM events
     """,
 )
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    raw = F.get_json_object("props", "$.k")
+    k = F.when(raw.rlike(INT_LITERAL_RE), raw.cast("int"))
     return e.select(
         "event_id",
         k.alias("k"),
@@ -897,10 +914,12 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) IS NOT NULL
     )
     SELECT event_id, key,
-           CASE WHEN TRY_CAST(value AS DOUBLE) IS NULL THEN value END AS value_str,
-           TRY_CAST(value AS DOUBLE) AS value_num
+           CASE WHEN NOT regexp_matches(value, '__DBL__')
+                THEN value END AS value_str,
+           TRY_CAST(CASE WHEN regexp_matches(value, '__DBL__')
+                         THEN value END AS DOUBLE) AS value_num
     FROM entries
-    """,
+    """.replace("__DBL__", DOUBLE_LITERAL_RE),
 )
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
@@ -946,7 +965,14 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(raw)
     )
     kv = kv.select("event_id", "key", value.alias("value"))
-    num = F.col("value").cast("double")
+    # The numeric route is whitelist-gated (contracts.DOUBLE_LITERAL_RE)
+    # rather than try-cast-gated: DuckDB's double parse accepts
+    # underscore separators ('4_2' -> 42.0) that Spark's does not, so
+    # "whatever casts" is not a cross-engine contract — "matches the
+    # shared literal grammar" is.
+    num = F.when(
+        F.col("value").rlike(DOUBLE_LITERAL_RE), F.col("value").cast("double")
+    )
     return kv.select(
         "event_id",
         "key",
@@ -1525,24 +1551,33 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q_variant",
-    oracle="""
-    SELECT event_id,
-           TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) AS k,
-           TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) >= 50 AS k_high,
-           upper(event_type) AS event_type_u
-    FROM events
-    WHERE json_valid(props)
-      AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
-      AND TRY_CAST(JSON_EXTRACT(props, '$.k') AS INT) % 2 = 0
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id, event_type,
+             TRY_CAST(CASE WHEN regexp_matches(
+                               json_extract_string(props, '$.k'),
+                               '{INT_LITERAL_RE}')
+                           THEN json_extract_string(props, '$.k') END
+                      AS INT) AS k
+      FROM events
+      WHERE json_valid(props)
+        AND len(json_keys(props)) = len(list_distinct(json_keys(props)))
+    )
+    SELECT event_id, k, k >= 50 AS k_high, upper(event_type) AS event_type_u
+    FROM g WHERE k % 2 = 0
     """,
 )
 def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     # try_parse_json: malformed/NULL props -> NULL VARIANT (parse_json
     # FAILFASTs the whole job on the first bad record — unusable on
-    # real corpora); try_variant_get: uncastable values (a non-numeric
-    # string k) -> NULL instead of INVALID_VARIANT_CAST. NULL k rows
-    # then drop at the even-k filter, mirroring the oracle's TRY_CAST.
+    # real corpora). The k value navigates out of the VARIANT as a
+    # STRING and passes the shared INT_LITERAL_RE gate before the int
+    # cast — variant's own int cast truncates doubles (4.9 -> 4) and
+    # coerces booleans (true -> 1) in ways no DuckDB expression
+    # mirrors exactly (round-8 numeric-string probes); the gated
+    # string render is the contract both engines express, and NULL k
+    # rows drop at the even-k filter either way.
     # Duplicate-key docs: the variant builder rejects them, so
     # try_parse_json nulls the doc while DuckDB's json_extract would
     # read the FIRST match — the oracle carries the matching
@@ -1550,7 +1585,8 @@ def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the outer level also null the variant but are invisible to
     # json_keys; declared out of contract (the engine side is safe —
     # the row drops, nothing crashes).
-    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'int')")
+    k_str = F.expr("try_variant_get(try_parse_json(props), '$.k', 'string')")
+    k = F.when(k_str.rlike(INT_LITERAL_RE), k_str.cast("int"))
     return (
         e.select(
             "event_id",

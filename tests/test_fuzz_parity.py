@@ -88,6 +88,18 @@ KEYS = [
     #                           INT field accepts only VALUE_NUMBER_INT —
     #                           dup docs follow the malformed path; oracle
     #                           gates k on json_type IN (BIGINT, UBIGINT)
+    # -- numeric-string cast harvest (round 8, seed 8 cast block: raw
+    #    string->INT semantics diverge in five classes — DuckDB rounds
+    #    decimal strings, hex-parses 0x, accepts 4_2; legacy Spark
+    #    cast truncates where DuckDB rounds) --
+    (8, "q_try_cast"),        # both engines share contracts.INT_LITERAL_RE
+    #                           before every graded string->INT cast
+    (8, "q_fn_json"),         # same gate through get_json_object; the
+    #                           legacy-cast truncation path is retired
+    #                           (q_fn_map's value_num pin above also covers
+    #                           the DOUBLE_LITERAL_RE whitelist: "whatever
+    #                           casts" is not a cross-engine contract,
+    #                           "matches the shared grammar" is)
 ]
 
 
