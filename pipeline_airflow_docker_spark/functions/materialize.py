@@ -67,6 +67,18 @@ _LIVE: "weakref.WeakKeyDictionary[DataFrame, tuple[str, str | None]]" = (
 )
 _SCRATCH_PATHS: set[str] = set()  # every dir we created, for the exit sweep
 
+# result DataFrame -> [materialized parents its plan reads]. Lets an
+# operator that pins an INTERNAL intermediate (gap_fill_hourly's bucket
+# table) hand the caller a release handle without widening its return
+# type: release(result) cascades to the linked parents. The list holds
+# strong refs on purpose — the parent's storage must outlive any child
+# plan that reads it; the weak KEY bounds growth once the child is
+# dropped (ContextCleaner / atexit cover the storage then, except
+# disk_persist — see the _LIVE note).
+_DEPS: "weakref.WeakKeyDictionary[DataFrame, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def _scratch_dir() -> str:
     global _SCRATCH_ROOT, _ROOT_IS_OURS  # noqa: PLW0603
@@ -130,6 +142,16 @@ def materialize(
     raise ValueError(f"unknown materialize mode {how!r}; known: {MODES}")
 
 
+def link(child: DataFrame, parent: DataFrame) -> None:
+    """Declare that ``child``'s plan reads ``parent`` (a
+    :func:`materialize` result pinned inside an operator), so that
+    ``release(child)`` also releases ``parent``. This is the release
+    handle for operators that return a plan built over an internal
+    materialization (operators/timeseries.py:gap_fill_hourly): the
+    caller releases the one DataFrame it actually holds."""
+    _DEPS.setdefault(child, []).append(parent)
+
+
 def release(df: DataFrame) -> None:
     """Free the storage behind a :func:`materialize` result that no
     consumer will read again (e.g. the previous round's labels in an
@@ -137,7 +159,11 @@ def release(df: DataFrame) -> None:
     and ``local_checkpoint`` results are a no-op (the ContextCleaner
     reclaims checkpointed RDDs when the object is collected). For
     ``disk_persist`` results this call is NOT optional in loops — the
-    JVM-side cache entry outlives the Python object (see _LIVE note)."""
+    JVM-side cache entry outlives the Python object (see _LIVE note).
+    Cascades through :func:`link` dependencies, so releasing an
+    operator's RESULT frees any intermediate it pinned internally."""
+    for parent in _DEPS.pop(df, []):
+        release(parent)
     mode_path = _LIVE.pop(df, None)
     if mode_path is None:
         return

@@ -110,22 +110,34 @@ def ngram_jaccard_pairs(
     self-join; at scale always block (or use minhash).
 
     ``max_pairs`` guards the quadratic blow-up: the sum of per-block
-    c·(c-1)/2 is estimated from a block-cardinality-sized aggregate
-    (one column-pruned scan of ``block_col`` only, collected at block
-    granularity — never rows) and the call refuses with a clear error
-    pointing at :func:`minhash_dup_pairs` when it exceeds the ceiling.
-    ``None`` disables the guard."""
+    c·(c-1)/2 is a single engine-side nested aggregate over a
+    column-pruned scan of ``block_col`` — only the one-row scalar is
+    collected, never per-block rows — and the call refuses with a
+    clear error pointing at :func:`minhash_dup_pairs` when it exceeds
+    the ceiling. ``None`` disables the guard."""
     if max_pairs is not None:
         blk = F.col(block_col) if block_col else F.lit(1)
-        block_counts = df.groupBy(blk.alias("__blk")).count().collect()
         # NULL-block rows never satisfy the a.blk == b.blk equi-join
         # below, so they contribute zero pairs — excluding them keeps
         # the estimate exact instead of refusing a corpus whose bulk
         # is un-blocked (NULL-lang) rows that would never self-join.
-        est = sum(
-            r["count"] * (r["count"] - 1) // 2
-            for r in block_counts
-            if r["__blk"] is not None
+        # Σ c·(c-1)/2 is computed ENGINE-SIDE as one nested aggregate
+        # over a column-pruned scan of ``block_col``; only the final
+        # scalar crosses to the driver. (The earlier per-block
+        # ``.collect()`` made the guard itself a driver-side
+        # materialization on high-cardinality block columns — the
+        # exact failure mode the guard exists to prevent.) Integer
+        # ``DIV`` keeps the estimate exact at any block size.
+        est = (
+            df.where(blk.isNotNull())
+            .groupBy(blk.alias("__blk"))
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(
+                F.coalesce(
+                    F.expr("sum(__c * (__c - 1) DIV 2)"), F.lit(0)
+                ).alias("__est")
+            )
+            .first()["__est"]
         )
         _check_pair_budget(
             est,

@@ -80,8 +80,16 @@ def extract_features(
             # row — there is nothing to featurize, and a NULL payload
             # must not crash the whole Arrow batch (it did: frombuffer
             # raises on None, killing the task for every row sharing
-            # the batch).
-            mask = [c is not None and len(c) > 0 for c in pdf["content"]]
+            # the batch). In real mode a NULL meta struct is equally
+            # unfeaturizable (no mime -> no codec), so those rows drop
+            # too; fake mode never decodes and keeps them (NULL mime
+            # in the output).
+            mask = [
+                c is not None
+                and len(c) > 0
+                and (fake or m is not None)
+                for c, m in zip(pdf["content"], pdf["meta"])
+            ]
             pdf = pdf[mask]
             if len(pdf) == 0:
                 continue
@@ -115,7 +123,9 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "mime": [
+                        None if m is None else m["mime"] for m in pdf["meta"]
+                    ],
                     "n_bytes": n_bytes.astype(np.int32),
                     "mean_byte": sums / totals,
                     "feature": (hists / totals[:, None]).tolist(),
@@ -167,6 +177,8 @@ def sample_frames(
                 if content is None:
                     continue  # NULL media: no frames (same as 0 bytes)
                 if not fake:
+                    if meta is None:
+                        continue  # no mime -> undecodable: no frames
                     content = decode_payload_bytes(content, meta["mime"])
                 buf = np.frombuffer(content, dtype=np.uint8)
                 n_frames = (buf.size + frame_size - 1) // frame_size
@@ -203,8 +215,12 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
             mediacodec as mc,
         )
 
-        def resize_one(content: bytes | None, mime: str) -> bytes | None:
-            if content is None:
+        def resize_one(content: bytes | None, mime: str | None) -> bytes | None:
+            # NULL meta (mime is None) must not crash the Arrow batch
+            # any more than NULL content does: without a mime the
+            # payload is undecodable, so the row keeps NULL output —
+            # in BOTH modes, so fake and real agree on the contract.
+            if content is None or mime is None:
                 return None
             if fake:
                 return np.frombuffer(content, dtype=np.uint8)[::factor].tobytes()
@@ -222,20 +238,24 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # Contract: a NULL payload keeps its row (resize is 1:1 —
-            # callers join on doc_id) with NULL size/output, instead of
-            # crashing the batch.
+            # Contract: a NULL payload OR a NULL meta struct keeps its
+            # row (resize is 1:1 — callers join on doc_id) with NULL
+            # size/output, instead of crashing the batch. The mime
+            # read is lazy: a NULL struct arrives as None, and
+            # m["mime"] on it would raise TypeError and kill every row
+            # sharing the Arrow batch.
+            mimes = [None if m is None else m["mime"] for m in pdf["meta"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
-                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "mime": mimes,
                     "orig_bytes": [
                         len(c) if c is not None else None
                         for c in pdf["content"]
                     ],
                     "resized": [
-                        resize_one(c, m["mime"])
-                        for c, m in zip(pdf["content"], pdf["meta"])
+                        resize_one(c, m)
+                        for c, m in zip(pdf["content"], mimes)
                     ],
                 }
             )

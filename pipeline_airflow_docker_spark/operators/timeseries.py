@@ -62,6 +62,13 @@ def gap_fill_hourly(
     the JVM here). Filter the input to the fill range you mean —
     e.g. ``df.filter((F.col(ts) >= lo) & (F.col(ts) < hi))`` — rather
     than raising the budget.
+
+    The guard path pins the hourly bucket table (materialize) so the
+    guard count and the returned plan share one aggregation. Looping
+    callers under ``SPARK_GRAFT_MATERIALIZE=disk_persist`` should call
+    ``functions.materialize.release(result)`` when done with the
+    result — it cascades to the internal pin (JVM cache entries in
+    that mode outlive the Python objects).
     """
     hourly = _hourly(df, key_col, ts_col, value_col)
     if max_fill_steps is not None:
@@ -131,7 +138,7 @@ def gap_fill_hourly(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
+    out = (
         hourly.unionByName(gaps)
         .select(
             key_col,
@@ -141,3 +148,17 @@ def gap_fill_hourly(
             F.last("total", ignorenulls=True).over(w).alias("ffill_total"),
         )
     )
+    if max_fill_steps is not None:
+        # Release handle: the returned plan reads the pinned bucket
+        # table, so under disk_persist (whose JVM cache entry outlives
+        # the Python object) callers that loop must be able to free it
+        # — release(result) now cascades to the internal materialize
+        # (functions/materialize.py:link). Previously only the refusal
+        # path released, and repeated calls accumulated cache entries
+        # until session stop.
+        from pipeline_airflow_docker_spark.functions.materialize import (  # noqa: PLC0415
+            link,
+        )
+
+        link(out, hourly)
+    return out
