@@ -126,19 +126,26 @@ def ngram_jaccard_pairs(
         # scalar crosses to the driver. (The earlier per-block
         # ``.collect()`` made the guard itself a driver-side
         # materialization on high-cardinality block columns — the
-        # exact failure mode the guard exists to prevent.) Integer
-        # ``DIV`` keeps the estimate exact at any block size.
-        est = (
+        # exact failure mode the guard exists to prevent.) The product
+        # runs in DECIMAL(38,0), not BIGINT: under default non-ANSI
+        # Spark, ``__c * (__c - 1)`` wraps silently past ~3e9 rows per
+        # block and a negative estimate would let the guard PASS on
+        # exactly the input it must refuse (r10 ADVICE). The halving
+        # happens driver-side in arbitrary-precision Python — each
+        # c·(c-1) is even, so the summed estimate divides exactly.
+        est_sum = (
             df.where(blk.isNotNull())
             .groupBy(blk.alias("__blk"))
             .agg(F.count(F.lit(1)).alias("__c"))
             .agg(
                 F.coalesce(
-                    F.expr("sum(__c * (__c - 1) DIV 2)"), F.lit(0)
+                    F.expr("sum(cast(__c AS DECIMAL(38,0)) * (__c - 1))"),
+                    F.lit(0).cast("decimal(38,0)"),
                 ).alias("__est")
             )
             .first()["__est"]
         )
+        est = int(est_sum) // 2
         _check_pair_budget(
             est,
             max_pairs,

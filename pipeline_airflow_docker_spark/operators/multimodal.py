@@ -15,6 +15,22 @@ any other column; `spark.read.format("binaryFile")` or parquet with a
 binary field are the ingestion paths. Keep media rows under the
 parquet row-group target by storing large blobs chunked or by
 reference (URI column) — metadata stays queryable either way.
+
+NULL-row contract (one statement for all three operators, r10 ADVICE —
+the per-operator variants diverged):
+
+- NULL/zero-byte ``content``: nothing to process. 1:many operators
+  (``extract_features``, ``sample_frames``) emit NO rows; the 1:1
+  operator (``resize_media``) keeps the row with NULL output so
+  callers can still join on ``doc_id``.
+- NULL ``meta`` struct, real mode: no mime means no codec — treated
+  exactly like NULL content (drop, or NULL output for 1:1).
+- NULL ``meta`` struct, fake mode: fake never decodes, so the row IS
+  processable — it processes normally, with NULL ``mime`` in any
+  output column that reports one.
+- In no case may a NULL row crash its Arrow batch (``m["mime"]`` on a
+  None struct raises and kills every row sharing the batch — the r8
+  bug class).
 """
 
 from __future__ import annotations
@@ -216,14 +232,17 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
         )
 
         def resize_one(content: bytes | None, mime: str | None) -> bytes | None:
-            # NULL meta (mime is None) must not crash the Arrow batch
-            # any more than NULL content does: without a mime the
-            # payload is undecodable, so the row keeps NULL output —
-            # in BOTH modes, so fake and real agree on the contract.
-            if content is None or mime is None:
+            # NULL handling per the module-docstring contract: NULL
+            # content -> NULL output (1:1 operator keeps the row); a
+            # NULL meta struct only blocks the REAL path (no mime -> no
+            # codec) — fake mode never reads the mime, so those rows
+            # resize normally, matching extract_features/sample_frames.
+            if content is None:
                 return None
             if fake:
                 return np.frombuffer(content, dtype=np.uint8)[::factor].tobytes()
+            if mime is None:
+                return None
             if mime == "image/bmp":
                 img = mc.decode_bmp(content)[::factor, ::factor]
                 return mc.encode_bmp(np.ascontiguousarray(img))
@@ -238,12 +257,11 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # Contract: a NULL payload OR a NULL meta struct keeps its
-            # row (resize is 1:1 — callers join on doc_id) with NULL
-            # size/output, instead of crashing the batch. The mime
-            # read is lazy: a NULL struct arrives as None, and
-            # m["mime"] on it would raise TypeError and kill every row
-            # sharing the Arrow batch.
+            # Resize is 1:1 (callers join on doc_id), so NULL rows keep
+            # their row with NULL output instead of dropping — and never
+            # crash the batch. The mime read is lazy: a NULL struct
+            # arrives as None, and m["mime"] on it would raise TypeError
+            # and kill every row sharing the Arrow batch.
             mimes = [None if m is None else m["mime"] for m in pdf["meta"]]
             yield pd.DataFrame(
                 {

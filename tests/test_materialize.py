@@ -78,3 +78,70 @@ def test_disk_persist_truncate_truncates_lineage(spark):
     assert "cast(1 as bigint)" not in plan, plan
     assert plan.lstrip().startswith("relation"), plan
     assert sorted(r.k for r in df.collect()) == list(range(3, 53))
+
+
+def test_link_cascade_releases_parent_scratch(spark):
+    """release(child) must free a parent pinned via link() — the r10
+    release-handle contract (functions/materialize.py:link). Scratch
+    parquet makes the effect observable on disk immediately."""
+    import os  # noqa: PLC0415
+
+    parent = materialize(spark.range(20), how="parquet_scratch")
+    (_, path) = mat._LIVE[parent]
+    assert path is not None and os.path.isdir(path)
+    child = parent.selectExpr("id * 2 AS k")
+    mat.link(child, parent)
+    release(child)
+    assert not os.path.exists(path)
+    assert parent not in mat._LIVE
+    assert child not in mat._DEPS
+    release(child)  # cascade is idempotent
+
+
+def test_gap_fill_release_handle_frees_internal_pin(spark, monkeypatch):
+    """gap_fill_hourly pins its hourly bucket table internally; under
+    disk_persist the JVM cache entry outlives the Python object, so
+    release(result) MUST cascade to it (r10 fix, previously only the
+    refusal path released). Red-fence: revert timeseries.py's link()
+    and the _LIVE entry survives this release."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.operators.timeseries import (  # noqa: PLC0415
+        gap_fill_hourly,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "disk_persist")
+    before = len(mat._LIVE)
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1.0), (1, "2024-01-01 05:40:00", 2.0)],
+        "k INT, ts STRING, v DOUBLE",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = gap_fill_hourly(df, "k", "ts", "v", max_fill_steps=100)
+    assert out.count() == 6  # 00..05 inclusive, 4 filled
+    assert len(mat._LIVE) == before + 1  # the internal pin is tracked
+    assert out in mat._DEPS
+    release(out)
+    assert len(mat._LIVE) == before
+    assert out not in mat._DEPS
+
+
+def test_deps_entries_die_with_the_child(spark):
+    """_DEPS holds STRONG parent refs only while the child is alive —
+    the weak KEY bounds growth for callers that drop results without
+    release() (the no-release path r10's verdict questioned). Storage
+    is then covered by ContextCleaner / the atexit scratch sweep."""
+    import gc  # noqa: PLC0415
+    import weakref  # noqa: PLC0415
+
+    parent = materialize(spark.range(5), how="parquet_scratch")
+    child = parent.selectExpr("id AS k")
+    mat.link(child, parent)
+    parent_ref = weakref.ref(parent)
+    n_deps = len(mat._DEPS)
+    del child
+    gc.collect()
+    assert len(mat._DEPS) == n_deps - 1  # weak key: entry died with child
+    release(parent)  # still explicitly releasable by its own handle
+    del parent
+    gc.collect()
+    assert parent_ref() is None  # _DEPS did not leak a strong ref

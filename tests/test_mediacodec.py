@@ -235,3 +235,64 @@ def test_real_resize_re_encodes_valid_media(media_df):
     samples2, rate2 = mc.decode_wav(bytes(rows[2].resized))
     assert rate2 == 4000
     assert np.array_equal(samples2, src["wav"][1][::2])
+
+
+# -------------------------------------------------- NULL-meta contract
+# One contract statement for all three operators (multimodal.py module
+# docstring, r10/r11): NULL meta drops (or NULLs, for 1:1 resize) in
+# REAL mode — no mime, no codec — but processes normally in FAKE mode,
+# which never reads the mime. And in neither mode may the None struct
+# crash the Arrow batch (m["mime"] on None raises TypeError and kills
+# every row sharing the batch — the r8 bug class these pin).
+
+
+@pytest.fixture(scope="module")
+def null_meta_df(spark):
+    """One decodable BMP row + one NULL-meta row sharing the batch."""
+    bmp, img = _bmp(4, 4)
+    rows = [
+        (1, bytearray(bmp), ("image/bmp", len(bmp), "")),
+        (2, bytearray(b"\x00\x01\x02\x03\x04\x05\x06\x07"), None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA), (bmp, img)
+
+
+def test_null_meta_features_fake_keeps_real_drops(null_meta_df):
+    df, _ = null_meta_df
+    fake = {r.doc_id: r for r in extract_features(df, n_features=4, fake=True).collect()}
+    assert set(fake) == {1, 2}  # fake mode never decodes: row processes
+    assert fake[2].mime is None
+    assert fake[2].n_bytes == 8
+    assert fake[2].mean_byte == pytest.approx(np.arange(8).mean())
+    real = {r.doc_id: r for r in extract_features(df, n_features=4).collect()}
+    assert set(real) == {1}  # real mode: no mime -> no codec -> no row
+
+
+def test_null_meta_frames_fake_keeps_real_drops(null_meta_df):
+    df, _ = null_meta_df
+    fake = sample_frames(df, frame_size=4, every_k=1, fake=True).collect()
+    by_doc: dict[int, list] = {}
+    for r in fake:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    assert sorted(bytes(r.frame) for r in by_doc[2]) == [
+        b"\x00\x01\x02\x03",
+        b"\x04\x05\x06\x07",
+    ]
+    real = sample_frames(df, frame_size=4, every_k=1).collect()
+    assert {r.doc_id for r in real} == {1}
+
+
+def test_null_meta_resize_fake_processes_real_nulls(null_meta_df):
+    """resize is 1:1 — the NULL-meta row KEEPS its row in both modes;
+    fake mode resizes it (mime unused), real mode NULLs the output.
+    Red-fences the r11 unification (fake previously returned NULL)."""
+    df, _ = null_meta_df
+    fake = {r.doc_id: r for r in resize_media(df, factor=2, fake=True).collect()}
+    assert set(fake) == {1, 2}
+    assert fake[2].mime is None and fake[2].orig_bytes == 8
+    assert bytes(fake[2].resized) == b"\x00\x02\x04\x06"
+    real = {r.doc_id: r for r in resize_media(df, factor=2).collect()}
+    assert set(real) == {1, 2}
+    assert real[2].resized is None and real[2].orig_bytes == 8
+    assert real[1].resized is not None
