@@ -619,28 +619,46 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------
 # K1+S2 round-trip, driver-graded [ref dags/etl_data_pipeline.py:24
-# ``to_csv(path, index=False)`` then :18 ``pd.read_csv``]: nation
-# written to CSV (fresh scratch dir per invocation) and read back
-# schema-first — the reference's extract→load file hand-off as one
-# oracle-checked unit. Integer/string columns only: CSV is a textual
-# format, and grading float round-trips would test number formatting,
-# not the sink (parquet/ORC/JDBC keys cover binary-exact values).
+# ``to_csv(path, index=False)`` then :18 ``pd.read_csv``]: the
+# DOCUMENTS table — the registry's full hostile-text surface (every
+# fuzz axis: markup, unicode edges, embedded commas/quotes/newlines,
+# whitespace, NULL vs '' — tools/gen_fuzz_data.py) — written to CSV
+# (fresh scratch dir per invocation) and read back schema-first in the
+# LOSSLESS dialect (sinks/batch.py:CSV_LOSSLESS_WRITE). The oracle
+# carries the dialect's ONE documented collision: a literal '\N' text
+# is indistinguishable from NULL on the wire. Integer/string columns
+# only: CSV is textual, and grading float round-trips would test
+# number formatting, not the sink (parquet/ORC/JDBC keys cover
+# binary-exact values).
 # --------------------------------------------------------------------
 @query(
     "q_csv_roundtrip",
-    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN text = '\N' THEN NULL ELSE text END AS text,
+           CASE WHEN lang = '\N' THEN NULL ELSE lang END AS lang,
+           CASE WHEN source = '\N' THEN NULL ELSE source END AS source,
+           n_chars
+    FROM documents
+    """,
 )
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.sinks.batch import write_csv  # noqa: PLC0415
     from pipeline_airflow_docker_spark.sources.batch import read_csv  # noqa: PLC0415
 
-    path = os.path.join(tempfile.mkdtemp(prefix="padspark_csv_"), "nation_csv")
+    path = os.path.join(tempfile.mkdtemp(prefix="padspark_csv_"), "documents_csv")
     write_csv(
-        table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ),
         path,
+        dialect="lossless",
     )
     return read_csv(
-        spark, path, schema="n_nationkey INT, n_name STRING, n_regionkey INT"
+        spark,
+        path,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+        dialect="lossless",
     )
 
 

@@ -14,13 +14,63 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+# Writer half of the engine's LOSSLESS CSV dialect — the contract for
+# engine-written CSV hand-offs (read back with
+# sources/batch.py:CSV_LOSSLESS_READ). Derived by cross-probing Spark's
+# univocity writer/parser round-trip on a hostile-string corpus
+# (round 11; the corpus is pinned in tests/test_csv_contract.py):
+#
+# - ignore*WhiteSpace=False: Spark's WRITER trims leading/trailing
+#   whitespace by default — ' both ' silently becomes 'both'.
+# - escape='"': RFC-4180 doubled quotes instead of Spark's default
+#   backslash escape (interoperable; backslash-heavy text stops
+#   needing escaping at all).
+# - nullValue='\N': keeps NULL distinct from '' (the default dialect
+#   writes both as nothing and reads both back as NULL). The ONE
+#   documented collision: a literal string equal to the sentinel
+#   ('\N') is indistinguishable from NULL on the wire — quoting can't
+#   save it because the writer quotes the sentinel under quoteAll too
+#   — and reads back as NULL. Every other probed string round-trips
+#   exactly: embedded commas/quotes/newlines/CRLF/lone-CR, tabs, NUL
+#   bytes, astral code points, zero-width chars, backslashes,
+#   multi-KB values.
+# - Embedded newlines are quoted on write and need multiLine=True on
+#   read (see CSV_LOSSLESS_READ for the splittability trade).
+#
+# CSV stays a TEXTUAL hand-off: floats/timestamps round-trip through
+# formatting, not bits — binary-exact hand-offs use parquet/ORC.
+CSV_LOSSLESS_WRITE: dict[str, str | bool] = {
+    "ignoreLeadingWhiteSpace": False,
+    "ignoreTrailingWhiteSpace": False,
+    "escape": '"',
+    "nullValue": "\\N",
+}
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+    dialect: str = "compat",
+) -> None:
     """K1: CSV write [ref dags/etl_data_pipeline.py:24
     ``to_csv(path, index=False)``]. Spark never writes an index column,
     so ``index=False`` parity is automatic. One file per partition —
     at scale that is the point; for tiny compat fixtures callers may
-    ``coalesce(1)`` first."""
-    df.write.mode(mode).option("header", header).csv(path)
+    ``coalesce(1)`` first.
+
+    ``dialect="compat"`` matches the reference's ``to_csv`` loosely
+    (and Spark's defaults exactly); ``dialect="lossless"`` applies
+    ``CSV_LOSSLESS_WRITE`` (above) for exact string fidelity through a
+    ``read_csv(..., dialect="lossless")`` read-back."""
+    writer = df.write.mode(mode).option("header", header)
+    if dialect == "lossless":
+        for k, v in CSV_LOSSLESS_WRITE.items():
+            writer = writer.option(k, v)
+    elif dialect != "compat":
+        raise ValueError(f"unknown CSV dialect {dialect!r}; known: compat, lossless")
+    writer.csv(path)
 
 
 def write_json_records(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -61,11 +61,28 @@ def fetch_url_to_staging(
     return dest_path
 
 
+# Reader half of the engine's LOSSLESS CSV dialect (see
+# sinks/batch.py:CSV_LOSSLESS_WRITE for the writer half and the full
+# contract). multiLine is load-bearing: quoted embedded newlines are
+# records, not row splits — the cost is that each FILE becomes the
+# split unit (a multiLine file can't be chunked mid-file), so writers
+# targeting this dialect should emit many files (one per partition,
+# which write_csv already does). emptyValue/nullValue keep '' and NULL
+# distinct (the default dialect collapses both to NULL).
+CSV_LOSSLESS_READ: dict[str, str | bool] = {
+    "multiLine": True,
+    "escape": '"',
+    "nullValue": "\\N",
+    "emptyValue": "",
+}
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
     schema: StructType | str | None = None,
     header: bool = True,
+    dialect: str = "compat",
 ) -> DataFrame:
     """S2: CSV scan [ref dags/etl_data_pipeline.py:18 ``pd.read_csv``].
 
@@ -73,8 +90,21 @@ def read_csv(
     reference's inference behavior (``inferSchema`` is an extra full
     pass over the data — acceptable compat mode, wrong default at
     100 TB).
+
+    ``dialect="compat"`` (default) reads external CSV the way the
+    reference's ``pd.read_csv`` broadly does: splittable line-records,
+    empty fields are NULL, backslash escapes. ``dialect="lossless"``
+    reads engine-written hand-offs (``sinks.batch.write_csv`` with the
+    same dialect) with exact string fidelity — see
+    ``sinks/batch.py:CSV_LOSSLESS_WRITE`` for the contract and its one
+    documented collision.
     """
     reader = spark.read.option("header", header)
+    if dialect == "lossless":
+        for k, v in CSV_LOSSLESS_READ.items():
+            reader = reader.option(k, v)
+    elif dialect != "compat":
+        raise ValueError(f"unknown CSV dialect {dialect!r}; known: compat, lossless")
     if schema is None:
         reader = reader.option("inferSchema", True)
     else:

@@ -1,0 +1,154 @@
+"""The cast-grammar probe battery, pinned as a permanent test
+(round 11; previously the 25/27-value side-by-side corpora justifying
+plans/contracts.py:INT_LITERAL_RE / DOUBLE_LITERAL_RE lived only in
+round evidence and docstrings).
+
+The graded contract is not "whatever casts" — it is "matches the
+shared grammar, then cast", because raw string->number semantics
+diverge across engines (DuckDB rounds '4.5'->5, hex-parses '0x10',
+accepts '4_2'; Spark nulls all three). These tests run the FULL probe
+corpus through Spark ``try_cast`` and DuckDB ``TRY_CAST`` side by side
+and assert:
+
+1. INSIDE each grammar, the engines agree exactly (bit-for-bit for
+   doubles, including -0.0, overflow->inf/NULL, and NaN) — so every
+   graded key that applies the gate is hash-stable by construction.
+2. The gates are NOT vacuous: dozens of corpus values pass each
+   grammar, and at least one value OUTSIDE each grammar demonstrably
+   diverges between the engines — the reason the gate exists.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import struct
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipeline_airflow_docker_spark.plans.contracts import (
+    DOUBLE_LITERAL_RE,
+    INT_LITERAL_RE,
+)
+
+# The union of every string->numeric shape the r8/r11 probes rolled:
+# whitespace envelopes (incl. \x0B vertical tab), signs, leading
+# zeros, decimals, exponents, engine-specific literal extensions
+# (hex, underscores), overflow at the int32/int64/double boundaries,
+# non-ASCII digits, IEEE specials in several spellings, and junk.
+CORPUS = [
+    "42", " 42 ", "\t7", "\n8", "\x0b9", "\f10", "\r11", "+7", "-7",
+    "-0", "07", "007", "0", "+0",
+    "4.5", "4.9", "-4.5", "42.", ".5", "-.5", "4.50", "0.0", "-0.0",
+    "1e5", "1E5", "1e+5", "1e-5", "1.5e2", "-2.5E-3", "1e", "e5", ".",
+    "1e309", "-1e309", "2.5e-320", "1.7976931348623157e308",
+    "0x10", "0X10", "4_2", "1_000", "1,000",
+    "2147483647", "2147483648", "-2147483648", "-2147483649",
+    "9223372036854775807", "9223372036854775808",
+    "-9223372036854775808", "-9223372036854775809",
+    "9999999999999999999999999",
+    "42abc", "abc", "", " ", "  ", "+", "-", "++1", "--1", "+-1",
+    "٤٢", "４２", "42 ", "​42",
+    "NaN", "nan", "NAN", "-NaN",
+    "Infinity", "-Infinity", "+Infinity", "infinity", "Inf", "inf",
+    "-inf", "1.0.0", "1..2", "1 2", '"42"', "'42'", "null", "None",
+    "true", "false",
+]
+
+_INT_RE = re.compile(INT_LITERAL_RE)
+_DBL_RE = re.compile(DOUBLE_LITERAL_RE)
+
+
+def _dbits(v: float | None) -> bytes | None:
+    return None if v is None else struct.pack("<d", v)
+
+
+@pytest.fixture(scope="module")
+def engine_casts(spark):
+    """(spark_rows, duck_rows): per corpus value, the three try_casts
+    in each engine."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(CORPUS)], "i INT, v STRING")
+    srows = {
+        r.i: (r.as_int, r.as_big, r.as_dbl)
+        for r in df.select(
+            "i",
+            F.expr("try_cast(v AS INT)").alias("as_int"),
+            F.expr("try_cast(v AS BIGINT)").alias("as_big"),
+            F.expr("try_cast(v AS DOUBLE)").alias("as_dbl"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        drows = {}
+        for i, v in enumerate(CORPUS):
+            drows[i] = con.execute(
+                "SELECT TRY_CAST(? AS INTEGER), TRY_CAST(? AS BIGINT), "
+                "TRY_CAST(? AS DOUBLE)",
+                [v, v, v],
+            ).fetchone()
+    finally:
+        con.close()
+    return srows, drows
+
+
+def test_int_grammar_values_cast_identically(engine_casts):
+    srows, drows = engine_casts
+    gated = [i for i, v in enumerate(CORPUS) if _INT_RE.match(v)]
+    assert len(gated) >= 20, "corpus must exercise the gate broadly"
+    for i in gated:
+        assert srows[i][0] == drows[i][0], (CORPUS[i], "INT", srows[i][0], drows[i][0])
+        assert srows[i][1] == drows[i][1], (CORPUS[i], "BIGINT", srows[i][1], drows[i][1])
+
+
+def test_double_grammar_values_cast_bit_identically(engine_casts):
+    srows, drows = engine_casts
+    gated = [i for i, v in enumerate(CORPUS) if _DBL_RE.match(v)]
+    assert len(gated) >= 30, "corpus must exercise the gate broadly"
+    for i in gated:
+        s, d = srows[i][2], drows[i][2]
+        if s is not None and d is not None and math.isnan(s) and math.isnan(d):
+            continue  # NaN payload bits are not part of the contract
+        assert _dbits(s) == _dbits(d), (CORPUS[i], "DOUBLE", s, d)
+
+
+def test_gates_exist_for_a_reason(engine_casts):
+    """At least one NON-gated corpus value must diverge between the
+    engines per grammar — if the engines ever converge on the whole
+    corpus, the gates (and their oracle mirrors) can be retired."""
+    srows, drows = engine_casts
+    int_div = [
+        CORPUS[i]
+        for i, v in enumerate(CORPUS)
+        if not _INT_RE.match(v) and srows[i][0] != drows[i][0]
+    ]
+    dbl_div = [
+        CORPUS[i]
+        for i, v in enumerate(CORPUS)
+        if not _DBL_RE.match(v)
+        and _dbits(srows[i][2]) != _dbits(drows[i][2])
+        and not (
+            srows[i][2] is not None
+            and drows[i][2] is not None
+            and math.isnan(srows[i][2])
+            and math.isnan(drows[i][2])
+        )
+    ]
+    assert int_div, "INT gate is vacuous — engines agree on every non-gated value"
+    assert dbl_div, "DOUBLE gate is vacuous — engines agree on every non-gated value"
+    # The classic divergence classes must stay represented:
+    assert "4.5" in int_div or "0x10" in int_div or "4_2" in int_div
+
+
+def test_grammar_is_subset_of_both_engines_accepting(engine_casts):
+    """No gated value may cast to NULL in ONE engine only — inside the
+    grammar, acceptance (not just value) must agree, or a gated key's
+    NULL counts drift."""
+    srows, drows = engine_casts
+    for i, v in enumerate(CORPUS):
+        if _INT_RE.match(v):
+            assert (srows[i][1] is None) == (drows[i][1] is None), (v, "BIGINT null")
+        if _DBL_RE.match(v):
+            assert (srows[i][2] is None) == (drows[i][2] is None), (v, "DOUBLE null")

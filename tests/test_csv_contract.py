@@ -1,0 +1,231 @@
+"""CSV ingest/hand-off contract (round 11 — the last parser boundary).
+
+Two surfaces, probed Spark-vs-DuckDB side by side first (the r8
+JSON/cast method):
+
+1. **Lossless dialect round-trip** (sinks/batch.py:CSV_LOSSLESS_WRITE
+   + sources/batch.py:CSV_LOSSLESS_READ): every hostile string the
+   probe corpus below rolls must round-trip write->read EXACTLY,
+   except the dialect's ONE documented collision — a literal string
+   equal to the ``\\N`` null sentinel reads back as NULL (quoting
+   cannot disambiguate it: Spark's writer quotes the sentinel under
+   ``quoteAll`` too). The graded key q_csv_roundtrip carries the same
+   CASE in its oracle.
+
+2. **Compat-mode external malformation contract** (read_csv defaults,
+   mirroring the reference's inference-everywhere ingest
+   [ref dags/etl_data_pipeline.py:18]): what the engine guarantees —
+   and explicitly does NOT guarantee — when handed CSV it didn't
+   write. Where DuckDB's strict sniffer diverges, the divergence is
+   pinned as a tripwire so an engine upgrade that silently changes
+   tolerance behavior goes red here, not in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from pipeline_airflow_docker_spark.sinks.batch import write_csv
+from pipeline_airflow_docker_spark.sources.batch import read_csv
+
+# The probe corpus behind CSV_LOSSLESS_WRITE's docstring: every class
+# where the univocity writer/parser classically loses data. NUL bytes
+# and astral code points are included HERE (Spark round-trips them)
+# but stay out of the graded parquet fixtures — DuckDB VARCHARs reject
+# NUL, so no oracle can grade them.
+ROUND_TRIP_CORPUS = [
+    "plain",
+    "comma, inside",
+    'quote " inside',
+    "line1\nline2",
+    "crlf\r\nline2",
+    "lone\rcr",
+    " leading",
+    "trailing ",
+    "  both  ",
+    "",
+    None,
+    "null",
+    "NULL",
+    "tab\there",
+    "back\\slash",
+    "\\n",
+    'mix "q", c\nnl',
+    "ünïcödé 東京",
+    "123",
+    "4.5",
+    '"',
+    '""',
+    "\\",
+    "x" * 3000,
+    "semi;colon",
+    'ends with quote"',
+    "\t",
+    "nul\x00byte",
+    "astral\U0001f30f!",
+    "​zero-width",
+    " line-sep",
+]
+
+
+def test_lossless_dialect_round_trips_hostile_corpus(spark, tmp_path):
+    rows = [(i, t) for i, t in enumerate(ROUND_TRIP_CORPUS)]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    path = str(tmp_path / "csv")
+    write_csv(df, path, dialect="lossless")
+    got = {
+        r.id: r.text
+        for r in read_csv(
+            spark, path, schema="id BIGINT, text STRING", dialect="lossless"
+        ).collect()
+    }
+    assert len(got) == len(rows)  # embedded newlines did NOT split rows
+    for i, t in rows:
+        assert got[i] == t, f"corpus[{i}] {t!r} -> {got[i]!r}"
+
+
+def test_lossless_dialect_one_documented_collision(spark, tmp_path):
+    """A literal '\\N' string is indistinguishable from NULL on the
+    wire — THE dialect limitation, mirrored by q_csv_roundtrip's
+    oracle CASE. If an engine change ever makes this round-trip, the
+    oracle must drop the CASE in the same commit."""
+    df = spark.createDataFrame([(1, "\\N"), (2, None)], "id BIGINT, text STRING")
+    path = str(tmp_path / "csv")
+    write_csv(df, path, dialect="lossless")
+    got = {
+        r.id: r.text
+        for r in read_csv(
+            spark, path, schema="id BIGINT, text STRING", dialect="lossless"
+        ).collect()
+    }
+    assert got == {1: None, 2: None}
+
+
+def test_default_dialect_is_lossy_where_documented(spark, tmp_path):
+    """Red-fences WHY the lossless dialect exists: Spark's writer
+    defaults trim whitespace, and '' collapses into NULL. If a Spark
+    upgrade changes these defaults the dialect constants deserve a
+    re-probe."""
+    df = spark.createDataFrame(
+        [(1, " padded "), (2, "")], "id BIGINT, text STRING"
+    )
+    path = str(tmp_path / "csv")
+    write_csv(df, path)  # compat dialect: Spark defaults
+    got = {
+        r.id: r.text
+        for r in read_csv(spark, path, schema="id BIGINT, text STRING").collect()
+    }
+    assert got[1] == "padded"  # writer trimmed
+    assert got[2] is None  # '' -> NULL
+
+
+def test_unknown_dialect_refuses(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown CSV dialect"):
+        read_csv(spark, str(tmp_path), dialect="excel")
+    with pytest.raises(ValueError, match="unknown CSV dialect"):
+        write_csv(spark.range(1), str(tmp_path / "x"), dialect="excel")
+
+
+# ------------------------------------------------------------------
+# Compat-mode external malformation contract. Each case pins Spark's
+# tolerant-read behavior (the engine contract) and, where DuckDB's
+# sniffer agrees, the cross-engine fact; where it diverges, the
+# divergence itself is the pinned contract class.
+# ------------------------------------------------------------------
+
+
+def _csv_file(tmp_path, payload: bytes) -> str:
+    p = os.path.join(str(tmp_path), "ext.csv")
+    with open(p, "wb") as fh:
+        fh.write(payload)
+    return p
+
+
+def test_ragged_rows_pad_and_truncate(spark, tmp_path):
+    """Contract: compat reads are PERMISSIVE — short rows NULL-pad
+    missing trailing fields, long rows drop extra fields. (DuckDB's
+    sniffer instead refuses the 3-column interpretation entirely —
+    cross-engine CSV raggedness is NOT portable; the reference's
+    pandas would error on the long row.)"""
+    p = _csv_file(tmp_path, b"a,b,c\n1,2,3\n4,5\n6,7,8,9\n")
+    got = read_csv(spark, p, schema="a INT, b INT, c INT").collect()
+    assert [tuple(r) for r in got] == [(1, 2, 3), (4, 5, None), (6, 7, 8)]
+
+
+def test_blank_lines_and_bom_are_skipped_both_engines(spark, tmp_path):
+    """Both engines skip interior blank lines and strip a UTF-8 BOM —
+    safe surface, asserted side-by-side."""
+    p = _csv_file(tmp_path, b"\xef\xbb\xbfa,b\n1,2\n\n3,4\n\n")
+    got = sorted(tuple(r) for r in read_csv(spark, p, schema="a INT, b INT").collect())
+    assert got == [(1, 2), (3, 4)]
+    con = duckdb.connect()
+    try:
+        assert sorted(con.execute(f"SELECT * FROM read_csv('{p}')").fetchall()) == got
+    finally:
+        con.close()
+
+
+def test_mixed_type_column_infers_string_both_engines(spark, tmp_path):
+    """The inference cliff lands the same way in both engines: a
+    column with int, float and word rows infers STRING, never a
+    partial numeric parse."""
+    p = _csv_file(tmp_path, b"a,b\n1,x\n2.5,y\nz,3\n")
+    sdf = read_csv(spark, p)  # schema=None -> inferSchema
+    assert [t for _, t in sdf.dtypes] == ["string", "string"]
+    assert sorted(tuple(r) for r in sdf.collect()) == [
+        ("1", "x"),
+        ("2.5", "y"),
+        ("z", "3"),
+    ]
+    con = duckdb.connect()
+    try:
+        assert sorted(con.execute(f"SELECT * FROM read_csv('{p}')").fetchall()) == [
+            ("1", "x"),
+            ("2.5", "y"),
+            ("z", "3"),
+        ]
+    finally:
+        con.close()
+
+
+def test_duplicate_and_missing_header_names_are_engine_specific(spark, tmp_path):
+    """Contract class, not a guarantee: duplicate headers are
+    deduplicated with ENGINE-SPECIFIC names (Spark a0/a1, DuckDB
+    a/a_1; a trailing empty header is Spark _c2, DuckDB column2).
+    Pipelines must not rely on deduplicated names — rename explicitly
+    after read. Pinned as a tripwire for engine upgrades."""
+    p = _csv_file(tmp_path, b"a,a,b,\n1,2,3,4\n")
+    sdf = read_csv(spark, p)
+    assert sdf.columns == ["a0", "a1", "b", "_c3"]
+    con = duckdb.connect()
+    try:
+        dcols = [
+            c[0]
+            for c in con.execute(
+                f"DESCRIBE SELECT * FROM read_csv('{p}')"
+            ).fetchall()
+        ]
+        assert dcols == ["a", "a_1", "b", "column3"]
+        assert sdf.columns != dcols  # the divergence IS the contract
+    finally:
+        con.close()
+
+
+def test_unclosed_quote_recovers_engine_specifically(spark, tmp_path):
+    """Contract: an unclosed quote is NOT data-recoverable. Spark's
+    univocity parser recovers best-effort and keeps reading rows;
+    DuckDB refuses the file. The engine guarantee is only 'no crash,
+    no silent row merge beyond the quoted span' — callers needing
+    strictness validate quotes upstream."""
+    p = _csv_file(tmp_path, b'a,b\n1,"open\n2,x\n3,y\n')
+    got = read_csv(spark, p, schema="a INT, b STRING").collect()
+    assert len(got) == 3  # best-effort recovery kept the later rows
+    con = duckdb.connect()
+    try:
+        with pytest.raises(duckdb.Error):
+            con.execute(f"SELECT * FROM read_csv('{p}')").fetchall()
+    finally:
+        con.close()

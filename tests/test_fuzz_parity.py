@@ -100,6 +100,20 @@ KEYS = [
     #                           the DOUBLE_LITERAL_RE whitelist: "whatever
     #                           casts" is not a cross-engine contract,
     #                           "matches the shared grammar" is)
+    # -- CSV-hostile harvest (round 11, seed 11: the axis' first sweep
+    #    came up 150/150 because the lossless dialect was designed from
+    #    the probe corpus FIRST — tests/test_csv_contract.py; these
+    #    pins keep the dialect options and the oracle's '\N'-sentinel
+    #    CASE red-fenced on a fixture that provably rolls every
+    #    hostile class: sentinel docs, embedded newlines/CR, lead/
+    #    trail whitespace, quotes, commas, '' vs NULL) --
+    (11, "q_csv_roundtrip"),  # lossless-dialect round-trip of documents;
+    #                           drop any CSV_LOSSLESS_* option and this
+    #                           goes red (writer trim / row splits / ''
+    #                           collapse)
+    (11, "q_charclass"),      # character-class profiling now sees
+    #                           control chars (\n \r \t) in text — the
+    #                           class counts must agree cross-engine
 ]
 
 
