@@ -668,17 +668,18 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reference's JSON file hand-off as one oracle-checked unit,
 # completing the graded sink matrix (CSV q_csv_roundtrip, ORC
 # q_orc_roundtrip, JDBC q_jdbc_roundtrip, parquet shards
-# tests/test_llm.py). Written as Spark-native JSONL, read back
-# schema-first through the array-tolerant reader. Integer/string
-# columns only — JSON is textual; float round-trips would grade number
+# tests/test_llm.py). Like q_csv_roundtrip it carries the DOCUMENTS
+# table — the registry's full hostile-text surface — but JSONL needs
+# no dialect and no oracle CASE: JSON escapes every probed string
+# (newlines, NUL, astral, quotes, backslashes, multi-KB) and has a
+# real null, so NULL vs '' survives the wire (round-11 probe; the CSV
+# sentinel collision has no JSONL analog). Integer/string columns
+# only — JSON is textual; float round-trips would grade number
 # formatting, not the sink (the binary-exact formats cover values).
 # --------------------------------------------------------------------
 @query(
     "q_jsonl_roundtrip",
-    oracle="""
-    SELECT c_custkey, c_name, c_nationkey
-    FROM customer WHERE c_nationkey < 10
-    """,
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
 )
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: PLC0415
@@ -688,11 +689,15 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_json_records,
     )
 
-    path = os.path.join(tempfile.mkdtemp(prefix="padspark_jsonl_"), "customer_json")
+    path = os.path.join(tempfile.mkdtemp(prefix="padspark_jsonl_"), "documents_json")
     write_json_records(
-        table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey"),
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ),
         path,
     )
     return read_json_records(
-        spark, path, schema="c_custkey BIGINT, c_name STRING, c_nationkey INT"
-    ).filter(F.col("c_nationkey") < 10)
+        spark,
+        path,
+        schema="doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )

@@ -229,3 +229,34 @@ def test_unclosed_quote_recovers_engine_specifically(spark, tmp_path):
             con.execute(f"SELECT * FROM read_csv('{p}')").fetchall()
     finally:
         con.close()
+
+
+# ------------------------------------------------------------------
+# JSONL contrast: the SAME hostile corpus needs NO dialect — JSON
+# escapes every probed string and has a real null, so NULL vs ''
+# survives the wire and the CSV sentinel collision has no analog.
+# q_jsonl_roundtrip carries this contract driver-graded.
+# ------------------------------------------------------------------
+
+
+def test_jsonl_round_trips_hostile_corpus_with_no_dialect(spark, tmp_path):
+    from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: PLC0415
+        write_json_records,
+    )
+    from pipeline_airflow_docker_spark.sources.batch import (  # noqa: PLC0415
+        read_json_records,
+    )
+
+    corpus = [*ROUND_TRIP_CORPUS, "\\N"]  # the CSV sentinel is just a string here
+    df = spark.createDataFrame(list(enumerate(corpus)), "id BIGINT, text STRING")
+    path = str(tmp_path / "jsonl")
+    write_json_records(df, path)
+    got = {
+        r.id: r.text
+        for r in read_json_records(
+            spark, path, schema="id BIGINT, text STRING"
+        ).collect()
+    }
+    assert len(got) == len(corpus)
+    for i, t in enumerate(corpus):
+        assert got[i] == t, f"corpus[{i}] {t!r} -> {got[i]!r}"

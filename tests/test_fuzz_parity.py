@@ -114,6 +114,9 @@ KEYS = [
     (11, "q_charclass"),      # character-class profiling now sees
     #                           control chars (\n \r \t) in text — the
     #                           class counts must agree cross-engine
+    (11, "q_jsonl_roundtrip"),  # the JSONL hand-off over the same
+    #                           hostile docs — no dialect needed (JSON
+    #                           escapes everything and has a real null)
 ]
 
 
