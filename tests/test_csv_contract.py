@@ -23,6 +23,7 @@ JSON/cast method):
 
 from __future__ import annotations
 
+import math
 import os
 
 import duckdb
@@ -260,3 +261,44 @@ def test_jsonl_round_trips_hostile_corpus_with_no_dialect(spark, tmp_path):
     assert len(got) == len(corpus)
     for i, t in enumerate(corpus):
         assert got[i] == t, f"corpus[{i}] {t!r} -> {got[i]!r}"
+
+
+def test_typed_csv_parse_is_its_own_acceptance_grammar(spark, tmp_path):
+    """Schema-first CSV reads parse numbers through Java/univocity —
+    a THIRD grammar, distinct from both Spark try_cast and DuckDB
+    TRY_CAST (round-11 probe):
+
+    - NO whitespace tolerance: ' 42 ' -> NULL (try_cast accepts it)
+    - NO decimal/exponent coercion into INT: '4.5'/'1e3' -> NULL
+      (DuckDB TRY_CAST rounds 4.5->5 and parses 1e3->1000)
+    - UNICODE DIGITS accepted: fullwidth '４２' and arabic-indic '٤٢'
+      parse to 42 (both casts NULL them) — Java's Character.digit
+    - overflow -> NULL, malformed -> NULL (PERMISSIVE), never an error
+    - DOUBLE columns accept NaN/Infinity spellings (Jackson-style)
+
+    This is why graded numeric-from-text paths route through the
+    shared cast grammar (plans/contracts.py) instead of typed CSV
+    ingest, and why the lossless round-trip keys only read numeric
+    columns the engine itself rendered (canonical digit runs, where
+    all three grammars agree). Pinned as an upgrade tripwire."""
+    p = os.path.join(str(tmp_path), "typed.csv")
+    vals = ["42", " 42 ", "4.5", "1e3", "2147483648", "４２", "٤٢", "NaN"]
+    with open(p, "w") as fh:
+        fh.write("i,v\n")
+        for i, v in enumerate(vals):
+            fh.write(f"{i},{v}\n")
+    as_int = {
+        r.i: r.v
+        for r in read_csv(spark, p, schema="i INT, v INT").collect()
+    }
+    assert as_int[0] == 42
+    assert as_int[1] is None  # whitespace envelope NOT accepted here
+    assert as_int[2] is None and as_int[3] is None  # no numeric coercion
+    assert as_int[4] is None  # int32 overflow -> NULL, no error
+    assert as_int[5] == 42 and as_int[6] == 42  # unicode digits DO parse
+    as_dbl = {
+        r.i: r.v
+        for r in read_csv(spark, p, schema="i INT, v DOUBLE").collect()
+    }
+    assert as_dbl[2] == 4.5 and as_dbl[3] == 1000.0
+    assert math.isnan(as_dbl[7])
