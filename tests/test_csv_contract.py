@@ -302,3 +302,47 @@ def test_typed_csv_parse_is_its_own_acceptance_grammar(spark, tmp_path):
     }
     assert as_dbl[2] == 4.5 and as_dbl[3] == 1000.0
     assert math.isnan(as_dbl[7])
+
+
+def test_binary_exact_sinks_round_trip_corpus_verbatim(spark, tmp_path):
+    """The graded sink matrix's binary-exact members (parquet, ORC)
+    must round-trip the hostile corpus VERBATIM — including the CSV
+    sentinel (just a string), NUL bytes, astral code points and
+    NULL-vs-'' — with no dialect and no caveat. This is the contract
+    the CSV/JSONL keys lean on when they exclude float columns:
+    'binary-exact hand-offs use parquet/ORC'."""
+    from pipeline_airflow_docker_spark.sinks.batch import write_orc  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.sources.batch import read_orc  # noqa: PLC0415
+
+    corpus = [*ROUND_TRIP_CORPUS, "\\N"]
+    df = spark.createDataFrame(list(enumerate(corpus)), "id BIGINT, text STRING")
+    pq = str(tmp_path / "pq")
+    df.write.parquet(pq)
+    got_pq = {r.id: r.text for r in spark.read.parquet(pq).collect()}
+    orc = str(tmp_path / "orc")
+    write_orc(df, orc)
+    got_orc = {r.id: r.text for r in read_orc(spark, orc).collect()}
+    for i, t in enumerate(corpus):
+        assert got_pq[i] == t, f"parquet corpus[{i}]"
+        assert got_orc[i] == t, f"orc corpus[{i}]"
+
+
+def test_kafka_payload_round_trips_corpus_through_json(spark):
+    """K7's wire format is to_json(struct(*)) — same Jackson engine as
+    the JSONL sink, so the hostile corpus survives the Kafka value
+    round-trip too (from_json with the declared schema restores
+    omitted-null fields as NULL)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.sinks.batch import kafka_payload  # noqa: PLC0415
+
+    corpus = [*ROUND_TRIP_CORPUS, "\\N"]
+    df = spark.createDataFrame(list(enumerate(corpus)), "id BIGINT, text STRING")
+    payload = kafka_payload(df, key_cols=["id"])
+    back = payload.select(
+        F.from_json("value", "id BIGINT, text STRING").alias("r")
+    ).select("r.*")
+    got = {r.id: r.text for r in back.collect()}
+    assert len(got) == len(corpus)
+    for i, t in enumerate(corpus):
+        assert got[i] == t, f"kafka corpus[{i}] {t!r} -> {got[i]!r}"
