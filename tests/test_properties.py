@@ -912,3 +912,73 @@ def test_mode_median_matches_reference(spark, vals, width):
     assert got["n"] == len(vals)
     assert (got["mode_bin"], got["mode_count"]) == (mode_bin, mode_count)
     assert got["median_low"] == median_low
+
+
+# ---------------------------------------------------------------
+# Hand-off fidelity laws (round 11): for ARBITRARY unicode text —
+# hypothesis drives the strings, not a curated corpus — the lossless
+# CSV dialect and the JSONL sink must satisfy
+#     read(write(X)) == X
+# modulo the CSV dialect's single documented collision (a literal
+# string equal to the '\N' sentinel reads back NULL). Surrogate code
+# points are excluded: they are not encodable UTF-8 scalar values, so
+# no byte-level format can carry them (createDataFrame itself would
+# mangle them before any sink runs).
+# ---------------------------------------------------------------
+
+TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=40,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(texts=TEXTS)
+def test_lossless_csv_round_trip_law(spark, tmp_path_factory, texts):
+    from pipeline_airflow_docker_spark.sinks.batch import write_csv  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.sources.batch import read_csv  # noqa: PLC0415
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id BIGINT, text STRING")
+    path = str(tmp_path_factory.mktemp("csvlaw") / "csv")
+    write_csv(df, path, dialect="lossless")
+    got = {
+        r.id: r.text
+        for r in read_csv(
+            spark, path, schema="id BIGINT, text STRING", dialect="lossless"
+        ).collect()
+    }
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        expect = None if t == "\\N" else t  # the documented collision
+        assert got[i] == expect, f"{t!r} -> {got[i]!r}"
+
+
+@SLOW
+@given(texts=TEXTS)
+def test_jsonl_round_trip_law(spark, tmp_path_factory, texts):
+    from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: PLC0415
+        write_json_records,
+    )
+    from pipeline_airflow_docker_spark.sources.batch import (  # noqa: PLC0415
+        read_json_records,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id BIGINT, text STRING")
+    path = str(tmp_path_factory.mktemp("jsonlaw") / "jsonl")
+    write_json_records(df, path)
+    got = {
+        r.id: r.text
+        for r in read_json_records(
+            spark, path, schema="id BIGINT, text STRING"
+        ).collect()
+    }
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == t, f"{t!r} -> {got[i]!r}"
