@@ -37,13 +37,23 @@ from pyspark.sql import functions as F
 # - Embedded newlines are quoted on write and need multiLine=True on
 #   read (see CSV_LOSSLESS_READ for the splittability trade).
 #
-# CSV stays a TEXTUAL hand-off: floats/timestamps round-trip through
-# formatting, not bits — binary-exact hand-offs use parquet/ORC.
+# CSV stays a TEXTUAL hand-off, but the dialect's numeric/temporal
+# fidelity is probed, not assumed (round 11, pinned in
+# tests/test_csv_contract.py): DOUBLE columns round-trip BIT-exact
+# (Java shortest-repr rendering — verified on -0.0, denormals down to
+# 5e-324, 1.79e308, NaN, +-inf, and 17-significant-digit values), and
+# TIMESTAMP columns round-trip to the microsecond across 1900..9999
+# under the microsecond timestampFormat below (Spark's default format
+# silently truncates to milliseconds). The offset suffix (XXX) makes
+# written files self-describing across sessions with different
+# timezones. Parquet/ORC remain the preferred hand-off for bulk
+# binary-exact data; the dialect just no longer LOSES anything.
 CSV_LOSSLESS_WRITE: dict[str, str | bool] = {
     "ignoreLeadingWhiteSpace": False,
     "ignoreTrailingWhiteSpace": False,
     "escape": '"',
     "nullValue": "\\N",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
 }
 
 

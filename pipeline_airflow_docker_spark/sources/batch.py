@@ -74,6 +74,7 @@ CSV_LOSSLESS_READ: dict[str, str | bool] = {
     "escape": '"',
     "nullValue": "\\N",
     "emptyValue": "",
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
 }
 
 

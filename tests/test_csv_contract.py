@@ -346,3 +346,65 @@ def test_kafka_payload_round_trips_corpus_through_json(spark):
     assert len(got) == len(corpus)
     for i, t in enumerate(corpus):
         assert got[i] == t, f"kafka corpus[{i}] {t!r} -> {got[i]!r}"
+
+
+def test_lossless_dialect_doubles_round_trip_bit_exact(spark, tmp_path):
+    """DOUBLE columns round-trip BIT-exact through the lossless
+    dialect: Spark renders Java shortest-repr strings, which re-parse
+    to the identical IEEE bits — including -0.0, denormals, the
+    extremes, NaN and infinities. Probed round 11; pinned so a writer
+    format change goes red here."""
+    import struct  # noqa: PLC0415
+
+    doubles = [
+        0.0, -0.0, 1.0, -1.5, 0.1, 1 / 3, math.pi, 1e-323, 5e-324,
+        1.7976931348623157e308, 2.2250738585072014e-308,
+        123456789.123456789, float("nan"), float("inf"), float("-inf"),
+        1e16, 1e17, -9.87e-45, 6.02214076e23, None,
+    ]
+    df = spark.createDataFrame(list(enumerate(doubles)), "id BIGINT, d DOUBLE")
+    path = str(tmp_path / "csv")
+    write_csv(df, path, dialect="lossless")
+    got = {
+        r.id: r.d
+        for r in read_csv(
+            spark, path, schema="id BIGINT, d DOUBLE", dialect="lossless"
+        ).collect()
+    }
+    for i, d in enumerate(doubles):
+        g = got[i]
+        if d is None:
+            assert g is None
+        elif math.isnan(d):
+            assert math.isnan(g)
+        else:
+            assert struct.pack("<d", d) == struct.pack("<d", g), (d, g)
+
+
+def test_lossless_dialect_timestamps_round_trip_microseconds(spark, tmp_path):
+    """TIMESTAMP columns round-trip to the microsecond across
+    1900..9999 under the dialect's explicit timestampFormat — Spark's
+    DEFAULT format truncates to milliseconds (probed: .123456 came
+    back .123000), which is exactly the silent-loss class the
+    dialect exists to close."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    ts = [
+        "1900-01-01 00:00:00", "1969-12-31 23:59:59.999999",
+        "1970-01-01 00:00:00", "2024-06-15 12:34:56.123456",
+        "2038-01-19 03:14:08.000001", "9999-12-31 23:59:59.999999",
+        "2024-03-10 02:30:00.5", None,
+    ]
+    df = spark.createDataFrame(list(enumerate(ts)), "id BIGINT, s STRING").select(
+        "id", F.col("s").cast("timestamp").alias("t")
+    )
+    orig = {r.id: r.t for r in df.collect()}
+    path = str(tmp_path / "csv")
+    write_csv(df, path, dialect="lossless")
+    got = {
+        r.id: r.t
+        for r in read_csv(
+            spark, path, schema="id BIGINT, t TIMESTAMP", dialect="lossless"
+        ).collect()
+    }
+    assert got == orig
