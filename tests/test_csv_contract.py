@@ -408,3 +408,20 @@ def test_lossless_dialect_timestamps_round_trip_microseconds(spark, tmp_path):
         ).collect()
     }
     assert got == orig
+
+
+def test_ragged_contract_matches_reference_pandas_where_claimed():
+    """Grounds the ragged-row contract's reference claim in an
+    executed fact [ref dags/etl_data_pipeline.py:18 pd.read_csv]:
+    pandas NULL-pads SHORT rows exactly like Spark's PERMISSIVE read,
+    but RAISES on a long row where Spark truncates — so 'tolerates
+    raggedness' is engine-specific in three different ways (Spark
+    pads+truncates, pandas pads+raises, DuckDB refuses the layout)."""
+    import io  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    short = pd.read_csv(io.StringIO("a,b,c\n1,2,3\n4,5\n6,7,8\n"))
+    assert short.isna().sum().sum() == 1  # short row NULL-padded
+    with pytest.raises(Exception, match="Expected 3 fields"):
+        pd.read_csv(io.StringIO("a,b,c\n1,2,3\n4,5,6,7\n"))
