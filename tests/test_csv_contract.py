@@ -425,3 +425,16 @@ def test_ragged_contract_matches_reference_pandas_where_claimed():
     assert short.isna().sum().sum() == 1  # short row NULL-padded
     with pytest.raises(Exception, match="Expected 3 fields"):
         pd.read_csv(io.StringIO("a,b,c\n1,2,3\n4,5,6,7\n"))
+
+
+def test_multiline_read_parallelizes_per_file(spark, tmp_path):
+    """SCALE.md §15's splittability claim, executed: multiLine makes
+    the FILE the split unit, and the writer emits one file per
+    partition — so a 4-partition write reads back as >=4 input
+    partitions, not one giant serial scan."""
+    df = spark.range(4000).selectExpr("id", "concat('line1\\nline2-', id) AS text")
+    path = str(tmp_path / "csv")
+    write_csv(df.repartition(4), path, dialect="lossless")
+    back = read_csv(spark, path, schema="id BIGINT, text STRING", dialect="lossless")
+    assert back.rdd.getNumPartitions() >= 4
+    assert back.count() == 4000  # embedded newlines didn't split rows
