@@ -438,3 +438,29 @@ def test_multiline_read_parallelizes_per_file(spark, tmp_path):
     back = read_csv(spark, path, schema="id BIGINT, text STRING", dialect="lossless")
     assert back.rdd.getNumPartitions() >= 4
     assert back.count() == 4000  # embedded newlines didn't split rows
+
+
+def test_compat_reader_never_crashes_on_byte_soup(spark, tmp_path):
+    """No-crash property of the compat reader (probed at 300 trials,
+    pinned at 60): arbitrary byte soup — raw bytes, delimiter/quote
+    soup, NUL and 0xFF rows under a valid header — PERMISSIVE-parses
+    to rows or nothing, never an exception. At 100 TB some producer
+    WILL hand the scan a corrupt object; the scan must quarantine,
+    not die."""
+    import random  # noqa: PLC0415
+
+    rng = random.Random(11)
+    for trial in range(60):
+        n = rng.randrange(0, 400)
+        kind = trial % 3
+        if kind == 0:
+            payload = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            payload = bytes(rng.choice(b'a1,"\n\r\\ \t;|') for _ in range(n))
+        else:
+            payload = b"a,b\n" + bytes(rng.choice(b'x9,"\n\x00\xff') for _ in range(n))
+        p = os.path.join(str(tmp_path), f"t{trial}.csv")
+        with open(p, "wb") as fh:
+            fh.write(payload)
+        rows = read_csv(spark, p, schema="a INT, b STRING").collect()
+        assert rows is not None  # parsed (possibly to nothing) — no crash
