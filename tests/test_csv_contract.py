@@ -464,3 +464,31 @@ def test_compat_reader_never_crashes_on_byte_soup(spark, tmp_path):
             fh.write(payload)
         rows = read_csv(spark, p, schema="a INT, b STRING").collect()
         assert rows is not None  # parsed (possibly to nothing) — no crash
+
+
+def test_json_reader_never_crashes_on_byte_soup(spark, tmp_path):
+    """The same no-crash property for the JSON hand-off reader —
+    including its array-vs-JSONL head sniff (a soup file starting
+    with '[' takes the multiLine array path): PERMISSIVE parse, rows
+    or nothing, never an exception."""
+    import random  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.sources.batch import (  # noqa: PLC0415
+        read_json_records,
+    )
+
+    rng = random.Random(11)
+    for trial in range(60):
+        n = rng.randrange(0, 400)
+        kind = trial % 3
+        if kind == 0:
+            payload = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            payload = bytes(rng.choice(b'{}[]",:a1 \n\\\x00') for _ in range(n))
+        else:
+            payload = b'{"a": 1}\n' + bytes(rng.choice(b'{}[",\n\xff') for _ in range(n))
+        p = os.path.join(str(tmp_path), f"t{trial}.json")
+        with open(p, "wb") as fh:
+            fh.write(payload)
+        rows = read_json_records(spark, p, schema="a INT, b STRING").collect()
+        assert rows is not None
