@@ -52,3 +52,42 @@ def test_guard_opt_out_and_range_filter(spark):
     # None opts out entirely (same small frame — proves the knob wires
     # through, without manufacturing a huge grid)
     assert len(gap_fill_hourly(filtered, "k", "ts", "v", max_fill_steps=None).collect()) == 4
+
+
+def test_max_gap_hours_skips_series_breaks(spark):
+    """The scale path (round 11): gaps longer than max_gap_hours are
+    series breaks — left unfilled — so output stays bounded on
+    legitimately sparse corpora. Short gaps still fill exactly."""
+    stamps = [
+        datetime.datetime(2024, 1, 1, 0, 10),   # bucket 00
+        datetime.datetime(2024, 1, 1, 2, 20),   # bucket 02 (1-hour gap)
+        datetime.datetime(2024, 1, 1, 9, 30),   # bucket 09 (6-hour break)
+    ]
+    out = gap_fill_hourly(_frame(spark, stamps), "k", "ts", "v", max_gap_hours=2)
+    rows = {r.bucket.hour: r for r in out.collect()}
+    assert sorted(rows) == [0, 1, 2, 9]  # 01 filled; 03..08 skipped
+    assert rows[1].n_events == 0 and rows[1].ffill_total == 1.0
+    assert rows[9].n_events == 1 and rows[9].ffill_total == 1.0
+    # Uncapped fills the whole grid: 00..09 inclusive.
+    full = gap_fill_hourly(_frame(spark, stamps), "k", "ts", "v")
+    assert full.count() == 10
+
+
+def test_max_gap_hours_is_the_guards_scale_path(spark):
+    """A corpus whose single oversized gap alone blows the budget must
+    refuse uncapped (naming the knob) and PASS capped — the guard
+    counts only fillable gaps."""
+    stamps = [
+        datetime.datetime(2024, 1, 1, 0, 0),
+        datetime.datetime(2024, 1, 1, 1, 30),
+        datetime.datetime(2030, 1, 1, 0, 0),  # ~52.6k-hour break
+    ]
+    df = _frame(spark, stamps)
+    with pytest.raises(ValueError, match="max_gap_hours"):
+        gap_fill_hourly(df, "k", "ts", "v", max_fill_steps=1000)
+    out = gap_fill_hourly(
+        df, "k", "ts", "v", max_fill_steps=1000, max_gap_hours=24
+    )
+    # 00 and 01 are adjacent buckets (no gap) and the 2030 break is
+    # skipped, so the output is exactly the three observed buckets.
+    assert out.count() == 3
