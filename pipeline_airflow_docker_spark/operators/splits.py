@@ -193,6 +193,78 @@ def shuffled_order(
     )
 
 
+def global_row_index(
+    df: DataFrame,
+    order_col: str,
+    n_shards: int = 32,
+    idx_col: str = "idx",
+) -> DataFrame:
+    """Global DENSE 1-based index by total order on ``order_col`` —
+    ``ROW_NUMBER() OVER (ORDER BY order_col)`` semantics — computed
+    WITHOUT a global window (round 11; the naive form funnels the
+    whole corpus through ONE window partition, a single-task sort at
+    100 TB):
+
+    1. approximate quantile boundaries of ``order_col`` (one pass,
+       n_shards-1 scalars to the driver),
+    2. range-shard on the boundaries (map-side; ranges, not hashes,
+       so cross-shard order is consistent with the total order),
+    3. ``row_number`` within each shard (parallel windows, each
+       ~1/n_shards of the data),
+    4. add EXACT per-shard offsets (one n_shards-row count aggregate,
+       cumulated driver-side, broadcast back as a literal map).
+
+    Boundary placement only affects shard SIZES, never the final
+    index — offsets are exact counts — so approximate percentiles are
+    safe. Both driver collects are bounded by ``n_shards`` (the IVF
+    quantizer pattern). ``order_col`` must be non-null and should be
+    unique: ties order arbitrarily within the tie (exactly like the
+    SQL form), and a tie spanning nothing worse — the boundary
+    predicate is a closed comparison, so all copies of one value land
+    in one shard.
+    """
+    w_shard = Window.partitionBy("__shard").orderBy(order_col)
+    if n_shards >= 2:
+        probs = [i / n_shards for i in range(1, n_shards)]
+        bounds = df.select(
+            F.percentile_approx(order_col, probs, 10_000).alias("b")
+        ).first()["b"]
+    else:
+        bounds = None
+    if not bounds:
+        # Empty input, all-null keys, or n_shards=1: degenerate to the
+        # plain window (zero rows / caller explicitly chose serial).
+        out = df.withColumn("__shard", F.lit(0))
+        return (
+            out.withColumn(idx_col, F.row_number().over(w_shard))
+            .drop("__shard")
+        )
+    uniq = sorted(set(bounds))  # heavy skew can repeat a boundary
+    # shard = how many boundaries the key exceeds. ONE flat expression
+    # node (array filter), not a chained when()-tree — a chain of
+    # n_shards additions overflowed the JVM analyzer stack at 1000
+    # shards (found by the operator's own tests).
+    bounds_arr = F.array(*[F.lit(b) for b in uniq])
+    shard: Column = F.size(F.filter(bounds_arr, lambda b: F.col(order_col) > b))
+    sharded = df.withColumn("__shard", shard.cast("int"))
+    counts = {
+        r["__shard"]: r["count"]
+        for r in sharded.groupBy("__shard").count().collect()
+    }
+    offsets: list[Column] = []
+    acc = 0
+    for s in range(len(uniq) + 1):
+        offsets += [F.lit(s), F.lit(acc)]
+        acc += counts.get(s, 0)
+    off = F.element_at(F.create_map(*offsets), F.col("__shard"))
+    return (
+        sharded.withColumn(
+            idx_col, (F.row_number().over(w_shard) + off).cast("int")
+        )
+        .drop("__shard")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

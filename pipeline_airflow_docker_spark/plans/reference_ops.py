@@ -325,18 +325,23 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # P9 index/enumerate assignment [ref dags/scrap_to_kafka_to_mongo_pipeline.py:58]
 # — deterministic: explicit total order (SURVEY.md §7 trap list).
+# Since round 11 the global ROW_NUMBER is computed range-sharded
+# (operators/splits.py::global_row_index): the naive global window
+# funnels the whole table through ONE window partition — the last
+# single-task sort in the graded registry. Identical values; the
+# oracle keeps the textbook SQL form.
 # --------------------------------------------------------------------
 @query(
     "q_row_number",
     oracle="SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS idx FROM documents",
 )
 def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.row_number().over(Window.orderBy("doc_id")).alias("idx")
+    from pipeline_airflow_docker_spark.operators.splits import (  # noqa: PLC0415
+        global_row_index,
     )
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return global_row_index(d, "doc_id", n_shards=32).select("doc_id", "idx")
 
 
 # --------------------------------------------------------------------

@@ -938,3 +938,52 @@ def test_grouped_split_never_leaks_across_sources(spark, sf_dir):
     assert per_source and all(r.n_splits == 1 for r in per_source)
     # and the split landscape is not degenerate (>= 2 splits used)
     assert out.select("split").distinct().count() >= 2
+
+
+def test_global_row_index_matches_serial_row_number(spark, sf_dir):
+    """global_row_index == ROW_NUMBER() OVER (ORDER BY key) exactly,
+    at every shard count (boundary placement must never change the
+    index — offsets are exact), including the degenerate n_shards=1
+    serial path and an empty input."""
+    from pipeline_airflow_docker_spark.operators.splits import global_row_index
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    ids = sorted(r.doc_id for r in d.collect())
+    expect = {doc: i + 1 for i, doc in enumerate(ids)}
+    for n_shards in (1, 2, 7, 32, 1000):  # 1000 > distinct boundaries: dedup path
+        got = {
+            r.doc_id: r.idx
+            for r in global_row_index(d, "doc_id", n_shards=n_shards).collect()
+        }
+        assert got == expect, f"n_shards={n_shards}"
+    empty = d.filter(F.lit(False))
+    assert global_row_index(empty, "doc_id").count() == 0
+
+
+def test_global_row_index_survives_heavy_skew(spark):
+    """90% of keys share ONE value: quantile boundaries repeat, the
+    dedup path collapses them, ties stay in one shard, and the index
+    is still a dense permutation of 1..n."""
+    from pipeline_airflow_docker_spark.operators.splits import global_row_index
+
+    rows = [(7,)] * 900 + [(i,) for i in range(1000, 1100)]
+    df = spark.createDataFrame(rows, "k BIGINT")
+    out = global_row_index(df, "k", n_shards=16).collect()
+    assert sorted(r.idx for r in out) == list(range(1, 1001))
+    # all ties of k=7 occupy exactly positions 1..900
+    assert {r.idx for r in out if r.k == 7} == set(range(1, 901))
+
+
+def test_global_row_index_plan_has_no_global_window(spark, sf_dir):
+    """The scale property itself: the executed plan's window operators
+    all carry a partition spec — no single-task global sort."""
+    from pipeline_airflow_docker_spark.operators.splits import global_row_index
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    plan = (
+        global_row_index(d, "doc_id", n_shards=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "__shard" in line, f"global window leaked: {line}"
