@@ -426,7 +426,15 @@ def test_registry_wide_no_cartesian_no_row_python(spark, sf_dir):
         _sys.path.insert(0, sys_path_root)
     from tools.plan_audit import audit_rows
 
-    offenders = [
-        r for r in audit_rows(spark, sf_dir) if r["cartesian"] or r["row_py"]
-    ]
+    rows = audit_rows(spark, sf_dir)
+    offenders = [r for r in rows if r["cartesian"] or r["row_py"]]
     assert not offenders, offenders
+    # Global ORDERED windows (partition-less sort through one task) are
+    # allowed ONLY over bounded-by-construction internal tables. The
+    # whole-registry allowed set (round 11, after q_row_number moved to
+    # the range-sharded splits.global_row_index): q_ks_drift's single
+    # cumulative-distribution window over its <= n_bins bin-totals
+    # aggregate. Growing this set requires the same boundedness
+    # argument in the operator's docstring.
+    gwin = sorted(r["qkey"] for r in rows if r["global_win"])
+    assert gwin == ["q_ks_drift"], gwin
