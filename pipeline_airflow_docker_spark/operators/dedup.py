@@ -82,10 +82,15 @@ def dedup_exact(df: DataFrame, keys: list[str], order: list[Column] | None = Non
 QUADRATIC_PAIR_CEILING = 10_000_000
 
 
-def _check_pair_budget(est_pairs: int, max_pairs: int, what: str, scale_path: str) -> None:
-    if est_pairs > max_pairs:
+def _check_pair_budget(
+    est_pairs: int | None, max_pairs: int, what: str, scale_path: str
+) -> None:
+    # None = the DECIMAL(38,0) estimate itself overflowed (>= 1e38
+    # pairs): unconditionally over any budget — refuse, never pass.
+    if est_pairs is None or est_pairs > max_pairs:
+        shown = "overflowed (>= 1e38)" if est_pairs is None else f"{est_pairs:,}"
         raise ValueError(
-            f"{what}: estimated candidate pairs {est_pairs:,} exceed "
+            f"{what}: estimated candidate pairs {shown} exceed "
             f"max_pairs={max_pairs:,}. This is the quadratic correctness "
             f"baseline — at this size use the blocked scale path instead: "
             f"{scale_path}. Pass max_pairs=None only if you accept the "
@@ -133,19 +138,25 @@ def ngram_jaccard_pairs(
         # exactly the input it must refuse (r10 ADVICE). The halving
         # happens driver-side in arbitrary-precision Python — each
         # c·(c-1) is even, so the summed estimate divides exactly.
-        est_sum = (
+        row = (
             df.where(blk.isNotNull())
             .groupBy(blk.alias("__blk"))
             .agg(F.count(F.lit(1)).alias("__c"))
             .agg(
-                F.coalesce(
-                    F.expr("sum(cast(__c AS DECIMAL(38,0)) * (__c - 1))"),
-                    F.lit(0).cast("decimal(38,0)"),
-                ).alias("__est")
+                F.expr("sum(cast(__c AS DECIMAL(38,0)) * (__c - 1))").alias(
+                    "__est"
+                ),
+                F.count(F.lit(1)).alias("__nblk"),
             )
-            .first()["__est"]
+            .first()
         )
-        est = int(est_sum) // 2
+        est_sum, n_blocks = row["__est"], row["__nblk"]
+        # NULL __est with nonzero blocks = the DECIMAL(38,0) sum
+        # itself overflowed (>= 1e38 pairs): under non-ANSI Spark the
+        # sum goes NULL, and coalescing to 0 would PASS the guard on
+        # exactly the input it must refuse. None propagates to the
+        # budget check, which refuses unconditionally.
+        est = None if (est_sum is None and n_blocks > 0) else int(est_sum or 0) // 2
         _check_pair_budget(
             est,
             max_pairs,

@@ -190,8 +190,12 @@ def sample_frames(
             for doc_id, content, meta in zip(
                 pdf["doc_id"], pdf["content"], pdf["meta"]
             ):
-                if content is None:
-                    continue  # NULL media: no frames (same as 0 bytes)
+                if content is None or len(content) == 0:
+                    # NULL/zero-byte media: no frames. The len check
+                    # matters in real mode — an empty payload with a
+                    # valid mime would reach the codec, raise, and
+                    # kill every row sharing the Arrow batch.
+                    continue
                 if not fake:
                     if meta is None:
                         continue  # no mime -> undecodable: no frames
@@ -237,7 +241,12 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
             # NULL meta struct only blocks the REAL path (no mime -> no
             # codec) — fake mode never reads the mime, so those rows
             # resize normally, matching extract_features/sample_frames.
-            if content is None:
+            if content is None or len(content) == 0:
+                # Zero-byte counts as "nothing to process" (module
+                # contract): NULL out rather than letting an empty
+                # payload with a valid mime reach the codec and kill
+                # the Arrow batch — and fake mode matches (NULL, not
+                # b'').
                 return None
             if fake:
                 return np.frombuffer(content, dtype=np.uint8)[::factor].tobytes()

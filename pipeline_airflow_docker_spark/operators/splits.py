@@ -23,6 +23,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pipeline_airflow_docker_spark.functions.materialize import link, materialize
 from pipeline_airflow_docker_spark.functions.text import seeded_md5
 
 N_BUCKETS = 1000  # per-mille split resolution
@@ -217,11 +218,26 @@ def global_row_index(
     Boundary placement only affects shard SIZES, never the final
     index — offsets are exact counts — so approximate percentiles are
     safe. Both driver collects are bounded by ``n_shards`` (the IVF
-    quantizer pattern). ``order_col`` must be non-null and should be
-    unique: ties order arbitrarily within the tie (exactly like the
-    SQL form), and a tie spanning nothing worse — the boundary
-    predicate is a closed comparison, so all copies of one value land
-    in one shard.
+    quantizer pattern). ``order_col`` must be non-null, NUMERIC or
+    TIMESTAMP (``percentile_approx`` rejects strings — unlike the
+    ROW_NUMBER this replaces), and should be unique: ties order
+    arbitrarily within the tie (exactly like the SQL form), and a tie
+    spanning nothing worse — the boundary predicate is a closed
+    comparison, so all copies of one value land in one shard.
+
+    ``idx`` is BIGINT end-to-end: the operator exists precisely for
+    corpora past the single-task-sort ceiling, and an int32 index
+    silently wraps past 2,147,483,647 rows under non-ANSI Spark —
+    offsets and the row_number sum are computed in LONG. Callers
+    needing an int32 contract cast at the call site and own the
+    ceiling.
+
+    The sharded frame is materialized before the offset count so the
+    count job and the returned plan read the SAME rows — without it,
+    a non-deterministic ``df`` (or a source mutating between the two
+    jobs) desyncs offsets from shard contents and the index silently
+    gains gaps/duplicates. Release via ``release(result)`` (the
+    materialization is link()-ed to the returned frame).
     """
     w_shard = Window.partitionBy("__shard").orderBy(order_col)
     if n_shards >= 2:
@@ -236,7 +252,9 @@ def global_row_index(
         # plain window (zero rows / caller explicitly chose serial).
         out = df.withColumn("__shard", F.lit(0))
         return (
-            out.withColumn(idx_col, F.row_number().over(w_shard))
+            out.withColumn(
+                idx_col, F.row_number().over(w_shard).cast("bigint")
+            )
             .drop("__shard")
         )
     uniq = sorted(set(bounds))  # heavy skew can repeat a boundary
@@ -246,7 +264,10 @@ def global_row_index(
     # shards (found by the operator's own tests).
     bounds_arr = F.array(*[F.lit(b) for b in uniq])
     shard: Column = F.size(F.filter(bounds_arr, lambda b: F.col(order_col) > b))
-    sharded = df.withColumn("__shard", shard.cast("int"))
+    # Materialized: the offset-count job below and the returned plan
+    # must read the SAME rows (non-deterministic input / a mutating
+    # source would otherwise desync exact offsets from shard contents).
+    sharded = materialize(df.withColumn("__shard", shard.cast("int")))
     counts = {
         r["__shard"]: r["count"]
         for r in sharded.groupBy("__shard").count().collect()
@@ -254,15 +275,20 @@ def global_row_index(
     offsets: list[Column] = []
     acc = 0
     for s in range(len(uniq) + 1):
-        offsets += [F.lit(s), F.lit(acc)]
+        # LONG literals: cumulative offsets exceed int32 in exactly
+        # the >2.147B-row regime this operator exists for, and under
+        # non-ANSI Spark an int32 sum wraps silently.
+        offsets += [F.lit(s), F.lit(acc).cast("bigint")]
         acc += counts.get(s, 0)
     off = F.element_at(F.create_map(*offsets), F.col("__shard"))
-    return (
+    out = (
         sharded.withColumn(
-            idx_col, (F.row_number().over(w_shard) + off).cast("int")
+            idx_col, F.row_number().over(w_shard).cast("bigint") + off
         )
         .drop("__shard")
     )
+    link(out, sharded)
+    return out
 
 
 def write_training_shards(

@@ -333,7 +333,7 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q_row_number",
-    oracle="SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS INT) AS idx FROM documents",
+    oracle="SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS idx FROM documents",
 )
 def q_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.operators.splits import (  # noqa: PLC0415

@@ -987,3 +987,46 @@ def test_global_row_index_plan_has_no_global_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__shard" in line, f"global window leaked: {line}"
+
+
+def test_global_row_index_is_bigint_end_to_end(spark, sf_dir):
+    """Red fence (r11 verdict #1): idx must be LongType on BOTH paths.
+    The operator exists for corpora past the single-task-sort ceiling;
+    an int32 index silently wraps past 2,147,483,647 rows under the
+    session's ansi.enabled=false."""
+    from pyspark.sql.types import LongType
+
+    from pipeline_airflow_docker_spark.operators.splits import global_row_index
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    sharded = global_row_index(d, "doc_id", n_shards=8)
+    assert isinstance(sharded.schema["idx"].dataType, LongType)
+    serial = global_row_index(d, "doc_id", n_shards=1)  # degenerate path
+    assert isinstance(serial.schema["idx"].dataType, LongType)
+
+
+def test_global_row_index_offset_arithmetic_past_int32(spark):
+    """The exact expression shape the operator builds — LONG literal
+    offsets in a create_map, element_at, + row_number cast bigint —
+    stays correct when the cumulative offset exceeds 2^31. Also pins
+    that the fence discriminates: the pre-r12 int32 shape wraps the
+    same sum negative under ansi.enabled=false."""
+    from pyspark.sql import Window
+
+    big = 2_147_483_647 + 5  # acc > int32 max, as at ~2.1B+ corpus rows
+    df = spark.createDataFrame([(i,) for i in range(3)], "k BIGINT")
+    df = df.withColumn("__shard", F.lit(0))
+    w = Window.partitionBy("__shard").orderBy("k")
+    off = F.element_at(
+        F.create_map(F.lit(0), F.lit(big).cast("bigint")), F.col("__shard")
+    )
+    good = df.withColumn("idx", F.row_number().over(w).cast("bigint") + off)
+    vals = sorted(r.idx for r in good.collect())
+    assert vals == [big + 1, big + 2, big + 3]
+    wrapped = df.withColumn(
+        "idx", (F.row_number().over(w) + F.lit(big)).cast("int")
+    )
+    assert all(r.idx < 0 for r in wrapped.collect()), (
+        "int32 cast no longer wraps — if Spark semantics changed, "
+        "re-evaluate whether this fence is still needed"
+    )

@@ -296,3 +296,46 @@ def test_null_meta_resize_fake_processes_real_nulls(null_meta_df):
     assert set(real) == {1, 2}
     assert real[2].resized is None and real[2].orig_bytes == 8
     assert real[1].resized is not None
+
+
+# ------------------------------------------------ zero-byte contract
+# r11 ADVICE: the module contract says NULL *or zero-byte* content is
+# "nothing to process", but resize/sample only guarded None — a
+# zero-byte payload with a VALID mime reached the codec in real mode,
+# raised ('BMP too short'), and killed every row sharing the Arrow
+# batch; fake-mode resize returned b'' instead of the documented NULL.
+
+
+@pytest.fixture(scope="module")
+def zero_byte_df(spark):
+    """One decodable BMP row + one ZERO-BYTE row with a valid mime."""
+    bmp, img = _bmp(4, 4)
+    rows = [
+        (1, bytearray(bmp), ("image/bmp", len(bmp), "")),
+        (2, bytearray(b""), ("image/bmp", 0, "")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA), (bmp, img)
+
+
+@pytest.mark.parametrize("fake", [True, False])
+def test_zero_byte_frames_no_rows_never_crash(zero_byte_df, fake):
+    df, _ = zero_byte_df
+    out = sample_frames(df, frame_size=4, every_k=1, fake=fake).collect()
+    assert {r.doc_id for r in out} == {1}  # 0 bytes: no frames, no crash
+
+
+@pytest.mark.parametrize("fake", [True, False])
+def test_zero_byte_resize_nulls_out_never_crash(zero_byte_df, fake):
+    df, _ = zero_byte_df
+    out = {r.doc_id: r for r in resize_media(df, factor=2, fake=fake).collect()}
+    assert set(out) == {1, 2}  # 1:1 keeps the row
+    assert out[2].resized is None  # NULL, not b'' — in BOTH modes
+    assert out[2].orig_bytes == 0
+    assert out[1].resized is not None
+
+
+@pytest.mark.parametrize("fake", [True, False])
+def test_zero_byte_features_drops_never_crash(zero_byte_df, fake):
+    df, _ = zero_byte_df
+    out = extract_features(df, n_features=4, fake=fake).collect()
+    assert {r.doc_id for r in out} == {1}
