@@ -30,6 +30,38 @@ from tools.plan_audit import is_streaming  # noqa: E402
 DEFAULT_SKIP = {"q_dedup_embedding", "q_dedup_ngram", "q_semdedup"}
 
 
+def _gapfill_capped(spark, sf_dir):
+    """q_gapfill's documented scale path, measured IN-sweep (r11
+    verdict #3): the uncapped min..max grid legitimately exceeds any
+    fill budget on a sparse-enough corpus (sf10: a 95.4M-bucket grid,
+    refused by design), so the sweep times the capped form —
+    max_gap_hours=24 treats longer gaps as series breaks, bounding
+    generated rows at 24 × gap-count — with a budget sized for the
+    capped output (the r11 hand-run: 72,954,600 rows in 15.1 s). The
+    uncapped refusal stays pinned by tests/test_timeseries.py and the
+    graded q_gapfill key keeps the oracle-mirrored uncapped semantics."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from pipeline_airflow_docker_spark.catalog import table  # noqa: PLC0415
+    from pipeline_airflow_docker_spark.operators.timeseries import (  # noqa: PLC0415
+        gap_fill_hourly,
+    )
+
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+    )
+    return gap_fill_hourly(
+        e, "user_id", "ts", "value",
+        max_fill_steps=200_000_000, max_gap_hours=24,
+    )
+
+
+# Keys whose graded form refuses by design at big SFs get their
+# documented scale path timed instead, under a "(capped)" label.
+CAPPED_VARIANTS = {"q_gapfill": ("q_gapfill(capped)", _gapfill_capped)}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/repo/.benchdata/sf10")
@@ -49,18 +81,19 @@ def main() -> int:
     ]
     results: list[tuple[str, float | None, str]] = []
     for name in keys:
+        label, fn = CAPPED_VARIANTS.get(name, (name, plans.QUERIES[name]))
         t0 = time.time()
         try:
-            df = plans.QUERIES[name](spark, args.sf)
+            df = fn(spark, args.sf)
             # Same action shape as bench.py: JVM-side count+checksum of
             # every column, no driver materialization of wide rows.
             df.select(
                 F.count(F.lit(1)),
                 *[F.count(c) for c in df.columns],
             ).collect()
-            results.append((name, round(time.time() - t0, 2), "ok"))
+            results.append((label, round(time.time() - t0, 2), "ok"))
         except Exception as e:  # noqa: BLE001
-            results.append((name, None, f"{type(e).__name__}: {e}"[:120]))
+            results.append((label, None, f"{type(e).__name__}: {e}"[:120]))
         r = results[-1]
         print(f"{r[0]:28s} {r[1] if r[1] is not None else '-':>8} {r[2][:80]}",
               flush=True)
