@@ -786,14 +786,15 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_resize",
     oracle="""
     WITH r AS (
-      -- COALESCE: DuckDB's array_to_string of an EMPTY list is NULL,
-      -- but an empty payload resizes to the empty payload, not NULL
-      -- (NULL text stays NULL via the outer CASE).
+      -- NULL AND zero-byte payloads resize to NULL: the module-wide
+      -- null contract (operators/multimodal.py, r12 — "nothing to
+      -- process" NULLs out in BOTH modes; an empty payload with a
+      -- valid mime must never reach a codec and kill its Arrow batch).
       SELECT doc_id,
-             CASE WHEN text IS NULL THEN NULL
-                  ELSE COALESCE(array_to_string(list_transform(
+             CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+                  ELSE array_to_string(list_transform(
                          range(1, length(text) + 1, 4),
-                         i -> substring(text, CAST(i AS INT), 1)), ''), '')
+                         i -> substring(text, CAST(i AS INT), 1)), '')
              END AS resized
       FROM documents
       WHERE text IS NULL OR octet_length(encode(text)) = length(text)

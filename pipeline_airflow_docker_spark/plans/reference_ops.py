@@ -14,10 +14,11 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.sources.scrape import STRIP_WS as _SCRAPE_STRIP_WS
 from pipeline_airflow_docker_spark.operators import (
     drop_null_rows,
     enrich,
@@ -27,6 +28,16 @@ from pipeline_airflow_docker_spark.operators import (
 )
 from pipeline_airflow_docker_spark.operators.quality import count_gate
 from pipeline_airflow_docker_spark.plans.registry import query
+
+# Every graded "trim" is contracted to the reference's Python
+# str.strip() char set (sources/scrape.py STRIP_WS): engine-default
+# trims DIVERGE — Spark's trim() strips ASCII space only while
+# DuckDB's also eats NBSP/Unicode spaces (found by fuzz axis 7, seed
+# 13: q_project_upper split on a trailing \xa0). Both sides pass the
+# set explicitly; the oracle side is chr() concatenation, not an
+# E'..' literal, because DuckDB 1.0 escape strings know \xHH but not
+# \uXXXX and raw control chars in SQL text are unreadable in logs.
+_STRIP_WS_SQL = "(" + " || ".join(f"chr({ord(c)})" for c in _SCRAPE_STRIP_WS) + ")"
 
 # Epoch seconds of 2024-01-01T00:00:00Z — base for data-derived stamps.
 _EPOCH_2024 = 1_704_067_200
@@ -174,11 +185,19 @@ def q_dropna_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query(
     "q_project_upper",
-    oracle="SELECT doc_id, UPPER(TRIM(text)) AS title FROM documents",
+    oracle=f"SELECT doc_id, UPPER(TRIM(text, {_STRIP_WS_SQL})) AS title FROM documents",
 )
 def q_project_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trim is pinned to the STRIP_WS charset on BOTH sides (see
+    # _STRIP_WS_SQL above): the reference's .strip() is Python
+    # whitespace, and the engines' default trims disagree about NBSP.
+    from pipeline_airflow_docker_spark.sources.scrape import STRIP_WS  # noqa: PLC0415
+
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.upper(F.trim(F.col("text"))).alias("title"))
+    return d.select(
+        "doc_id",
+        F.upper(F.trim(F.col("text"), F.lit(STRIP_WS))).alias("title"),
+    )
 
 
 # --------------------------------------------------------------------
@@ -417,27 +436,46 @@ def q_count_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scrap_to_kafka_to_mongo_pipeline.py:40-79]: pages are synthesized
 # in-plan from documents (an <h1> holding the first three tokens and
 # two <a href> links derived from doc_id), then parsed back through
-# the REAL scrape operator (BeautifulSoup inside an Arrow batch UDF).
-# The oracle reconstructs the expected (type, index, content) rows
-# directly from the synthesis rule, so the whole parse -> explode
-# path is hash-checked without any network or fixture file.
+# the REAL scrape operator (stdlib html.parser inside an Arrow batch
+# UDF). The oracle reconstructs the expected (type, index, content)
+# rows directly from the synthesis rule, so the whole parse ->
+# explode path is hash-checked without any network or fixture file.
+#
+# Round 12 deepening (the CSV-roundtrip method applied to the last
+# parser boundary): doc_id % 8 picks a MALFORMATION CLASS for the
+# page markup — every class is hostile HTML from the probe corpus
+# (sources/scrape.py module contract), and classes 0-6 are
+# output-NEUTRAL by contract (uppercase/unquoted/single-quoted/
+# duplicate attrs, inline tags + comments inside h1, charref-encoded
+# spaces, whitespace-heavy tags, self-closing links + script/CDATA
+# decoys, h1 left open at EOF), so the oracle stays the clean 3-row
+# shape for them; class 7 emits 12 links to hash-pin the first-10
+# cap. Any parser regression on any class breaks hash parity on
+# every sweep. The title strip mirrors Python str.strip() exactly
+# (trim(x, STRIP_WS) in the oracle — plain trim() is space-only and
+# diverges on \t/NBSP title edges; probe finding).
 # --------------------------------------------------------------------
 @query(
     "q_scrape",
-    oracle="""
+    oracle=f"""
     WITH t AS (
-      SELECT doc_id,
-             -- trim: the scraper strips the h1 text (reference P10),
-             -- so a whitespace-only document titles to '' not '  '
-             trim(concat_ws(' ', toks[1], toks[2], toks[3])) AS title
+      SELECT doc_id, doc_id % 8 AS cls,
+             trim(concat_ws(' ', toks[1], toks[2], toks[3]),
+                  {_STRIP_WS_SQL}) AS title
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       WHERE len(toks) >= 3
     )
     SELECT doc_id, 'title' AS type, 1 AS index, title AS content FROM t
     UNION ALL
-    SELECT doc_id, 'link', 1, concat('https://ex.com/', doc_id, '/a') FROM t
+    SELECT doc_id, 'link', 1, concat('https://ex.com/', doc_id, '/a')
+    FROM t WHERE cls <> 7
     UNION ALL
-    SELECT doc_id, 'link', 2, concat('https://ex.com/', doc_id, '/b') FROM t
+    SELECT doc_id, 'link', 2, concat('https://ex.com/', doc_id, '/b')
+    FROM t WHERE cls <> 7
+    UNION ALL
+    SELECT doc_id, 'link', CAST(i AS INT),
+           concat('https://ex.com/', doc_id, '/l', i)
+    FROM t, generate_series(1, 10) s(i) WHERE cls = 7
     """,
 )
 def q_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,15 +501,70 @@ def q_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(">"),
         F.lit("&gt;"),
     )
-    pages = d.filter(F.size(toks) >= 3).select(
-        "doc_id",
-        F.concat(
-            F.lit("<html><body><h1>"), title, F.lit("</h1>"),
-            F.lit('<a href="https://ex.com/'), F.col("doc_id"), F.lit('/a">x</a>'),
-            F.lit('<a href="https://ex.com/'), F.col("doc_id"), F.lit('/b">y</a>'),
-            F.lit("</body></html>"),
-        ).alias("html"),
+
+    def url(suffix: str) -> Column:
+        return F.concat(
+            F.lit("https://ex.com/"), F.col("doc_id"), F.lit(suffix)
+        )
+
+    def page(*parts: Column | str) -> Column:
+        return F.concat(*[F.lit(p) if isinstance(p, str) else p for p in parts])
+
+    cls = F.col("doc_id") % 8
+    html = (
+        # c0: the clean baseline form.
+        F.when(cls == 0, page(
+            '<html><body><h1>', title, '</h1><a href="', url('/a'),
+            '">x</a><a href="', url('/b'), '">y</a></body></html>',
+        ))
+        # c1: uppercase tags, unquoted attribute values.
+        .when(cls == 1, page(
+            "<HTML><BODY><H1>", title, "</H1><A HREF=", url("/a"),
+            ">x</A><A HREF=", url("/b"), ">y</A></BODY></HTML>",
+        ))
+        # c2: single quotes, junk attrs, DUPLICATE href (first wins).
+        .when(cls == 2, page(
+            "<html><body><h1 class='hd' id=t>", title,
+            "</h1><a rel='x' href='", url("/a"),
+            "' href='https://WRONG/dup'>x</a><a href='", url("/b"),
+            "' href=''>y</a></body></html>",
+        ))
+        # c3: title split across inline tags + a comment inside h1.
+        .when(cls == 3, page(
+            "<html><body><h1><b>", title,
+            '</b><!-- decoy <a href="https://NO/comment"> --></h1>'
+            '<a href="', url("/a"), '">x</a><a href="', url("/b"),
+            '">y</a></body></html>',
+        ))
+        # c4: whitespace-heavy tags; spaces charref-coded as &#32;.
+        .when(cls == 4, page(
+            "<html><body><h1   >",
+            F.replace(title, F.lit(" "), F.lit("&#32;")),
+            '</h1  ><a\n  href = "', url("/a"), '" >x</a><a   href="',
+            url("/b"), '"\t>y</a></body></html>',
+        ))
+        # c5: script/CDATA decoys, self-closing links, stray end tag.
+        .when(cls == 5, page(
+            "<html><body><script>var x = '<a href=\"https://NO/script\">';"
+            "</script><h1>", title,
+            '</h1><![CDATA[<a href="https://NO/cdata">]]><a href="',
+            url("/a"), '"/><br><a href="', url("/b"),
+            '"/></p></body></html>',
+        ))
+        # c6: h1 left OPEN at EOF (parser must flush; links precede).
+        .when(cls == 6, page(
+            '<html><body><a href="', url("/a"), '">x</a><a href="',
+            url("/b"), '">y</a><h1>', title,
+        ))
+        # c7: 12 links — hash-pins the reference's first-10 cap.
+        .otherwise(page(
+            "<html><body><h1>", title, "</h1>",
+            *[p for i in range(1, 13)
+              for p in ('<a href="', url(f"/l{i}"), '">x</a>')],
+            "</body></html>",
+        ))
     )
+    pages = d.filter(F.size(toks) >= 3).select("doc_id", html.alias("html"))
     return scrape_records(pages)
 
 

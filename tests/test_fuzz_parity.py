@@ -117,6 +117,24 @@ KEYS = [
     (11, "q_jsonl_roundtrip"),  # the JSONL hand-off over the same
     #                           hostile docs — no dialect needed (JSON
     #                           escapes everything and has a real null)
+    # -- HTML-malformation harvest (round 12, seed 13: the axis' first
+    #    sweep tripped q_project_upper on a trailing NBSP — DuckDB's
+    #    default trim() eats Unicode spaces, Spark's is ASCII-space
+    #    only; every graded trim is now pinned to the STRIP_WS
+    #    charset on both sides) --
+    (13, "q_scrape"),         # entity/tag-looking tokens and \t/NBSP/
+    #                           ideographic-space title edges through the
+    #                           escape -> html.parser -> charref round
+    #                           trip and all 8 markup-malformation
+    #                           classes (doc_id % 8); drop any contract
+    #                           behavior (EOF flush, first-href,
+    #                           charref spaces) and this goes red
+    (13, "q_project_upper"),  # trim(text, STRIP_WS) == str.strip() ==
+    #                           oracle trim-with-charset on NBSP edges
+    (13, "q_media_resize"),   # ''-text docs: zero-byte payloads resize
+    #                           to NULL in both modes (the r12 unified
+    #                           null contract) — the oracle carries the
+    #                           length(text)=0 CASE
 ]
 
 
