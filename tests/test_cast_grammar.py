@@ -152,3 +152,47 @@ def test_grammar_is_subset_of_both_engines_accepting(engine_casts):
             assert (srows[i][1] is None) == (drows[i][1] is None), (v, "BIGINT null")
         if _DBL_RE.match(v):
             assert (srows[i][2] is None) == (drows[i][2] is None), (v, "DOUBLE null")
+
+
+# ---------------------------------------------------------------------
+# JSON whitespace-only gate (round 12): from_json's NULL-vs-malformed
+# line is JACKSON's whitespace skip — exactly {space, \t, \n, \r} —
+# while DuckDB's default trim() strips NBSP/ideographic space but NOT
+# \t/\n. q_json_roundtrip's oracle ''-gate diverged in BOTH directions
+# ('\t'-only: engine NULL, bare-trim oracle '{}'; '\xa0'-only: engine
+# '{}', bare-trim oracle NULL) until it was pinned to the JSON set.
+# ---------------------------------------------------------------------
+_WS_PROBES = [
+    "", " ", "\t", "\n", "\r", "\r\n \t",      # JSON ws-only -> NULL
+    "\xa0", "\x0b", "\x0c", "　", " \xa0 ",  # not JSON ws -> '{}'
+    "﻿{}",                                  # BOM is not JSON ws
+]
+_JSON_WS_GATE = "trim(?, ' ' || chr(9) || chr(10) || chr(13)) = ''"
+
+
+def test_json_whitespace_gate_matches_from_json(spark):
+    """For every probe: Spark from_json goes NULL iff the oracle's
+    JSON-whitespace trim gate fires — the q_json_roundtrip contract."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(_WS_PROBES)], "i INT, props STRING"
+    )
+    srows = {
+        r.i: r.v
+        for r in df.select(
+            "i", F.to_json(F.from_json("props", "k INT")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(_WS_PROBES):
+        gate = con.execute(f"SELECT {_JSON_WS_GATE}", [v]).fetchone()[0]
+        engine_null = srows[i] is None
+        assert engine_null == gate, (repr(v), srows[i], gate)
+        if not engine_null:
+            assert srows[i] == "{}", repr(v)  # malformed path, both engines
+    # non-vacuity: DuckDB's bare trim() disagrees with the gate on
+    # BOTH sides of the line
+    bare_tab, bare_nbsp = con.execute(
+        "SELECT trim(chr(9)) = '', trim(chr(160)) = ''"
+    ).fetchone()
+    assert bare_tab is False and bare_nbsp is True
+    con.close()

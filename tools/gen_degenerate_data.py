@@ -101,7 +101,15 @@ DEGENERATE_SQL: dict[str, str] = {
           ({BASE_ID + 4}::BIGINT, TIMESTAMP '2024-01-15 12:00:03', {BASE_ID + 2}::BIGINT,
            ''::VARCHAR, -0.0::DOUBLE, ''::VARCHAR),
           ({BASE_ID + 5}::BIGINT, TIMESTAMP '2024-01-15 12:00:04', {BASE_ID + 2}::BIGINT,
-           'purchase'::VARCHAR, 42.5::DOUBLE, '{{"k": "notanint"}}'::VARCHAR)
+           'purchase'::VARCHAR, 42.5::DOUBLE, '{{"k": "notanint"}}'::VARCHAR),
+          -- whitespace-only props straddle from_json's NULL-vs-malformed
+          -- line (r12 probe): JSON-ws-only (tab) -> NULL struct, non-JSON
+          -- ws (NBSP) -> malformed '{{}}' — the oracle ''-gate must trim
+          -- exactly {{space, \\t, \\n, \\r}} to agree in both directions
+          ({BASE_ID + 6}::BIGINT, TIMESTAMP '2024-01-15 12:00:05', {BASE_ID + 2}::BIGINT,
+           'click'::VARCHAR, 1.0::DOUBLE, chr(9)::VARCHAR),
+          ({BASE_ID + 7}::BIGINT, TIMESTAMP '2024-01-15 12:00:06', {BASE_ID + 2}::BIGINT,
+           'click'::VARCHAR, 1.0::DOUBLE, chr(160)::VARCHAR)
         ) t(event_id, ts, user_id, event_type, value, props)
     """,
     "documents": f"""
