@@ -38,6 +38,11 @@ from pipeline_airflow_docker_spark.plans.registry import query
 # E'..' literal, because DuckDB 1.0 escape strings know \xHH but not
 # \uXXXX and raw control chars in SQL text are unreadable in logs.
 _STRIP_WS_SQL = "(" + " || ".join(f"chr({ord(c)})" for c in _SCRAPE_STRIP_WS) + ")"
+# Spark side: \uXXXX escapes in a SQL literal through the standard
+# TRIM(BOTH .. FROM ..) syntax — the two-parameter F.trim(col, lit)
+# signature is deprecated in Spark 4.1, and Spark's char() is mod-256
+# so a chr() chain cannot spell code points past U+00FF (probed r12).
+_STRIP_WS_SPARK = "'" + "".join(f"\\u{ord(c):04x}" for c in _SCRAPE_STRIP_WS) + "'"
 
 # Epoch seconds of 2024-01-01T00:00:00Z — base for data-derived stamps.
 _EPOCH_2024 = 1_704_067_200
@@ -189,14 +194,13 @@ def q_dropna_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_project_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trim is pinned to the STRIP_WS charset on BOTH sides (see
-    # _STRIP_WS_SQL above): the reference's .strip() is Python
-    # whitespace, and the engines' default trims disagree about NBSP.
-    from pipeline_airflow_docker_spark.sources.scrape import STRIP_WS  # noqa: PLC0415
-
+    # _STRIP_WS_SQL/_STRIP_WS_SPARK above): the reference's .strip()
+    # is Python whitespace, and the engines' default trims disagree
+    # about NBSP.
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.upper(F.trim(F.col("text"), F.lit(STRIP_WS))).alias("title"),
+        F.upper(F.expr(f"trim(BOTH {_STRIP_WS_SPARK} FROM text)")).alias("title"),
     )
 
 

@@ -181,15 +181,19 @@ def test_duckdb_trim_charset_matches_python_strip():
 
 
 def test_spark_trim_charset_matches_python_strip(spark):
-    """Engine side: F.trim(col, STRIP_WS) == str.strip() on the same
-    corpus, and Spark's DEFAULT trim keeps NBSP (the divergence that
-    makes the explicit charset load-bearing)."""
+    """Engine side: TRIM(BOTH <STRIP_WS as \\uXXXX literal> FROM col)
+    == str.strip() on the same corpus, and Spark's DEFAULT trim keeps
+    NBSP (the divergence that makes the explicit charset load-bearing).
+    The TRIM(BOTH..FROM..) SQL form, not two-param F.trim (deprecated
+    in Spark 4.1); \\uXXXX escapes, not char() (Spark's char is
+    mod-256 and cannot spell code points past U+00FF)."""
     from pyspark.sql import functions as F
 
+    lit = "'" + "".join(f"\\u{ord(c):04x}" for c in STRIP_WS) + "'"
     df = spark.createDataFrame([(i, s) for i, s in enumerate(HOSTILE_EDGES)], "i INT, s STRING")
     rows = df.select(
         "i",
-        F.trim(F.col("s"), F.lit(STRIP_WS)).alias("t"),
+        F.expr(f"trim(BOTH {lit} FROM s)").alias("t"),
         F.trim(F.col("s")).alias("t_default"),
     ).collect()
     for r in rows:
