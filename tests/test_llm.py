@@ -212,6 +212,19 @@ def test_quadratic_baselines_refuse_past_pair_ceiling(spark, sf_dir):
         >= 0
     )
 
+    # Estimate-overflow contract (r11 ADVICE): if the DECIMAL(38,0)
+    # pair sum itself overflows (>= 1e38 pairs), non-ANSI Spark
+    # returns a NULL estimate — the guard must REFUSE, never coalesce
+    # to 0 and pass on exactly the input it exists to refuse. The
+    # sentinel path is unit-testable; the real overflow needs ~1e19
+    # rows per block.
+    from pipeline_airflow_docker_spark.operators.dedup import (  # noqa: PLC0415
+        _check_pair_budget,
+    )
+
+    with pytest.raises(ValueError, match="overflowed"):
+        _check_pair_budget(None, 10_000_000, "ngram_jaccard_pairs", "x")
+
 
 def test_multimodal_real_decode_raises(spark, sf_dir):
     d = table(spark, sf_dir, "documents").limit(2)
