@@ -196,3 +196,77 @@ def test_json_whitespace_gate_matches_from_json(spark):
     ).fetchone()
     assert bare_tab is False and bare_nbsp is True
     con.close()
+
+
+# ---------------------------------------------------------------------
+# Case-mapping domain tripwire (round 12). The divergence itself is
+# r7 knowledge: Spark's upper()/lower() is FULL Unicode case mapping
+# (JVM == Python: 'ß'->'SS', ligature 'ﬁ'->'FI', final sigma) while
+# DuckDB's is SIMPLE 1:1 ('ß'->'ẞ'), pinned engine-side in
+# tests/test_functions.py::test_case_mapping_engine_semantics, and
+# special-casing code points stay OUT of graded fixtures by contract
+# (tools/gen_fuzz_data.py, the _UNI_WORDS note). What was missing is
+# enforcement: the exclusion relied on humans remembering the note at
+# every token-pool roll. This test regenerates both fixture
+# generators' outputs and asserts every character in every VARCHAR
+# column still case-maps identically in Python/Spark and DuckDB — a
+# roll that introduces 'ß' fails HERE with a pointer, not as a hash
+# mismatch in whichever sweep first uppercases it.
+# ---------------------------------------------------------------------
+def test_fixture_alphabet_stays_inside_case_agreed_domain(tmp_path):
+    import os
+    import sys as _sys
+
+    from pipeline_airflow_docker_spark.catalog import TABLES
+    from tools import gen_degenerate_data, gen_fuzz_data
+
+    fixtures = []
+    for mod, argv in (
+        (gen_fuzz_data, ["gen", "--seed", "1"]),
+        (gen_degenerate_data, ["gen", "--mode", "degen"]),
+    ):
+        out = str(tmp_path / argv[-1].lstrip("-"))
+        _sys.argv, saved = [*argv, "--out", out], _sys.argv
+        try:
+            mod.main()
+        finally:
+            _sys.argv = saved
+        fixtures.append(out)
+    fixtures.append(os.environ.get("SPARK_GRAFT_BASE", "/root/testdata/sf0.001"))
+
+    con = duckdb.connect()
+    chars: set[str] = set()
+    for fdir in fixtures:
+        for t in TABLES:
+            pq = os.path.join(fdir, f"{t}.parquet")
+            if not os.path.exists(pq):
+                continue
+            cols = [
+                name
+                for name, typ, *_ in con.execute(
+                    f"DESCRIBE SELECT * FROM '{pq}'"
+                ).fetchall()
+                if typ == "VARCHAR"
+            ]
+            for c in cols:
+                for (v,) in con.execute(
+                    f'SELECT DISTINCT "{c}" FROM \'{pq}\' WHERE "{c}" IS NOT NULL'
+                ).fetchall():
+                    chars |= set(v)
+    chars.discard("\x00")  # DuckDB VARCHAR params reject NUL
+    bad = []
+    for c in sorted(chars):
+        du, dl = con.execute("SELECT upper(?), lower(?)", [c, c]).fetchone()
+        if du != c.upper() or dl != c.lower():
+            bad.append((c, hex(ord(c)), c.upper(), du, c.lower(), dl))
+    # non-vacuity: the divergence the domain excludes is real in both
+    # mapping directions (expansion and context-sensitive sigma)
+    assert con.execute("SELECT upper('ß')").fetchone()[0] == "ẞ"
+    assert con.execute("SELECT lower('ΣΑΣ')").fetchone()[0] == "σασ"
+    assert "ΣΑΣ".lower() == "σας"
+    con.close()
+    assert not bad, (
+        f"case-mapping-divergent chars reached the fixture alphabet: {bad!r}"
+        " — see the case-mapping domain contract above and the"
+        " _UNI_WORDS note in tools/gen_fuzz_data.py"
+    )
