@@ -30,11 +30,18 @@ def chunk_tokens(
     """Explode each row into (chunk_id, n_tokens, chunk_text) windows.
 
     Keeps all original columns except ``text_col``; deterministic:
-    chunk boundaries depend only on token positions.
+    chunk boundaries depend only on token positions. ``delimiter`` is
+    a LITERAL string, not a regex — Spark's split() is regex-based, so
+    the delimiter is \\Q..\\E-quoted before it reaches the engine
+    (r12: an unquoted '.' or '|' delimiter silently splits on every
+    character / every position).
     """
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window, got {stride=} {window=}")
-    toks = F.split(F.col(text_col), delimiter)
+    # Pattern.quote semantics; the only regex-active token inside a
+    # \Q..\E span is \E itself, so break the quote around it.
+    quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    toks = F.split(F.col(text_col), quoted)
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(window)) / F.lit(float(stride))).cast("int") + 1,

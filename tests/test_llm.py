@@ -397,6 +397,35 @@ def test_chunk_tokens_rejects_bad_stride(spark):
         chunk_tokens(docs, "text", window=10, stride=11)
 
 
+def test_chunk_tokens_delimiter_is_literal_not_regex(spark):
+    """Red fence (r12): Spark's split() is regex-based, so the
+    operator must Pattern-quote the caller's delimiter — an unquoted
+    '.' splits on every character and '|' on every position, silently
+    producing garbage chunks."""
+    from pipeline_airflow_docker_spark.operators.chunking import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a.b.c.d"), (2, "x|y|z"), (3, r"a\Eb\Ec")],
+        "doc_id BIGINT, text STRING",
+    )
+    dots = chunk_tokens(
+        docs.filter("doc_id = 1"), "text", window=2, stride=2, delimiter="."
+    ).collect()
+    assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in dots] == [
+        (0, 2, "a.b"),
+        (1, 2, "c.d"),
+    ]
+    pipes = chunk_tokens(
+        docs.filter("doc_id = 2"), "text", window=2, stride=2, delimiter="|"
+    ).collect()
+    assert [(r.n_tokens, r.chunk_text) for r in pipes] == [(2, "x|y"), (1, "z")]
+    # the \Q..\E quoting's own escape hatch: a delimiter CONTAINING \E
+    esc = chunk_tokens(
+        docs.filter("doc_id = 3"), "text", window=5, stride=5, delimiter="\\E"
+    ).collect()
+    assert [(r.n_tokens, r.chunk_text) for r in esc] == [(3, "a\\Eb\\Ec")]
+
+
 def test_hash_split_stable_and_proportional(spark, sf_dir):
     """Split membership is a pure function of the key: unchanged when
     the corpus shrinks/grows, and close to the target fractions."""
