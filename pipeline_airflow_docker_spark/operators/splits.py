@@ -218,12 +218,14 @@ def global_row_index(
     Boundary placement only affects shard SIZES, never the final
     index — offsets are exact counts — so approximate percentiles are
     safe. Both driver collects are bounded by ``n_shards`` (the IVF
-    quantizer pattern). ``order_col`` must be non-null, NUMERIC or
-    TIMESTAMP (``percentile_approx`` rejects strings — unlike the
-    ROW_NUMBER this replaces), and should be unique: ties order
-    arbitrarily within the tie (exactly like the SQL form), and a tie
-    spanning nothing worse — the boundary predicate is a closed
-    comparison, so all copies of one value land in one shard.
+    quantizer pattern). ``order_col`` must be non-null and should be
+    unique: ties order arbitrarily within the tie (exactly like the
+    SQL form), and a tie spanning nothing worse — the boundary
+    predicate is a closed comparison, so all copies of one value land
+    in one shard. NUMERIC/TIMESTAMP/DATE keys get percentile_approx
+    boundaries; any other orderable type (the common 100 TB case is a
+    hash-shaped STRING doc id) gets boundaries from a seeded bounded
+    sample — equally safe, since placement only affects shard sizes.
 
     ``idx`` is BIGINT end-to-end: the operator exists precisely for
     corpora past the single-task-sort ceiling, and an int32 index
@@ -241,10 +243,39 @@ def global_row_index(
     """
     w_shard = Window.partitionBy("__shard").orderBy(order_col)
     if n_shards >= 2:
-        probs = [i / n_shards for i in range(1, n_shards)]
-        bounds = df.select(
-            F.percentile_approx(order_col, probs, 10_000).alias("b")
-        ).first()["b"]
+        from pyspark.sql.types import DateType, NumericType, TimestampType  # noqa: PLC0415
+
+        dt = df.schema[order_col].dataType
+        if isinstance(dt, (NumericType, TimestampType, DateType)):
+            probs = [i / n_shards for i in range(1, n_shards)]
+            bounds = df.select(
+                F.percentile_approx(order_col, probs, 10_000).alias("b")
+            ).first()["b"]
+        else:
+            # STRING (or any orderable non-numeric) keys — the common
+            # 100 TB case is a hash-shaped string doc id, and
+            # percentile_approx rejects strings. Boundaries come from a
+            # seeded bounded sample instead (r12): placement only
+            # affects shard SIZES, never the index (offsets are exact
+            # counts), so sampling is safe by the same argument as
+            # approximate percentiles. One count job sizes the
+            # fraction; the collect is capped at ~200 keys per shard.
+            target = min(200 * n_shards, 100_000)
+            n_rows = df.count()
+            if n_rows == 0:
+                bounds = None
+            else:
+                frac = min(1.0, (3.0 * target) / n_rows)
+                keys = sorted(
+                    r[0]
+                    for r in df.select(order_col)
+                    .where(F.col(order_col).isNotNull())
+                    .sample(fraction=frac, seed=42)
+                    .limit(target)
+                    .collect()
+                )
+                step = max(1, len(keys) // n_shards)
+                bounds = keys[step::step][: n_shards - 1] or None
     else:
         bounds = None
     if not bounds:
