@@ -87,6 +87,12 @@ def sessionize(
     Deterministic: ties on ``ts_col`` break by ``order_tiebreakers``
     (pass the event id); session numbering is then a pure function of
     the data.
+
+    ``session_col`` is BIGINT: the index is a per-key running count,
+    and unlike Spark's int-typed ``row_number`` (whose width is the
+    engine's own contract) this narrowing would be ours — a hot key
+    past 2.147B sessions would wrap silently under the session's
+    ``ansi.enabled=false``.
     """
     keys = [F.col(c) for c in key_cols]
     order = [F.col(ts_col)] + [F.col(c) for c in order_tiebreakers]
@@ -100,7 +106,7 @@ def sessionize(
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         df.withColumn("__is_new", is_new)
-        .withColumn(session_col, (F.sum("__is_new").over(run) - 1).cast("int"))
+        .withColumn(session_col, (F.sum("__is_new").over(run) - 1).cast("long"))
         .drop("__is_new")
     )
 

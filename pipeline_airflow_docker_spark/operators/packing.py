@@ -36,6 +36,11 @@ def pack_sequences(
     ``pack_id`` is dense within each ``part_cols`` group; ``order_cols``
     must be a deterministic total order (content ids, not load order)
     so packing is reproducible across runs and cluster sizes.
+
+    ``pack_id`` is BIGINT: it is cumulative-tokens // seq_len, and a
+    coarse ``part_cols`` group (one language) holds trillions of
+    tokens at corpus scale — far past 2^31 packs. ``pack_offset``
+    stays INT (bounded below ``seq_len`` by construction).
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -47,6 +52,6 @@ def pack_sequences(
     start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     return df.select(
         *df.columns,
-        F.floor(start / seq_len).cast("int").alias("pack_id"),
+        F.floor(start / seq_len).alias("pack_id"),
         (start % seq_len).cast("int").alias("pack_offset"),
     )

@@ -302,7 +302,7 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_id,
            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
              AS session_idx
     FROM m
     """,
@@ -554,7 +554,7 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts, value,
              CAST(SUM(is_new) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) - 1 AS INT)
+                                    ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
                AS session_idx
       FROM m
     )

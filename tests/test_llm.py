@@ -689,6 +689,37 @@ def test_pack_sequences_layout(spark):
         pack_sequences(df, "n_tokens", 0)
 
 
+def test_pack_sequences_pack_id_is_bigint(spark):
+    """Red fence (r12, the global_row_index int32 class): pack_id is
+    cumulative-tokens // seq_len — trillions of tokens in one coarse
+    part_cols group at corpus scale — so it must be LongType and the
+    arithmetic must hold past 2^31. The pre-r12 ``.cast("int")`` shape
+    wraps the third doc's pack_id (2^32) to 0 under ansi.enabled=false.
+    pack_offset stays INT (bounded below seq_len by construction)."""
+    from pyspark.sql.types import IntegerType, LongType
+
+    from pipeline_airflow_docker_spark.operators.packing import pack_sequences
+
+    big = 2**33  # tokens per doc, so doc 3 starts at 2^34
+    rows = [(1, big), (2, big), (3, big)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens long")
+    out = pack_sequences(df, "n_tokens", 4, order_cols=("doc_id",))
+    assert isinstance(out.schema["pack_id"].dataType, LongType)
+    assert isinstance(out.schema["pack_offset"].dataType, IntegerType)
+    got = {r.doc_id: r.pack_id for r in out.collect()}
+    assert got == {1: 0, 2: 2**31, 3: 2**32}
+    wrapped = {
+        r.doc_id: r.pack_id
+        for r in out.select(
+            "doc_id", F.col("pack_id").cast("int").alias("pack_id")
+        ).collect()
+    }
+    assert wrapped[3] == 0, (
+        "int32 cast no longer wraps — if Spark semantics changed, "
+        "re-evaluate whether this fence is still needed"
+    )
+
+
 def test_pack_sequences_partition_isolation(spark):
     """part_cols pack independently: each group restarts at pack 0."""
     from pipeline_airflow_docker_spark.operators.packing import pack_sequences

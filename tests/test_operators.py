@@ -135,6 +135,22 @@ def test_sessionize_gap_boundaries(spark):
     assert out == {(1, 10): 0, (1, 11): 0, (1, 12): 1, (2, 20): 0}
 
 
+def test_sessionize_index_is_bigint(spark):
+    """Red fence (r12, the global_row_index int32 class): session_idx
+    is a per-key running count — OUR narrowing, unlike Spark's
+    int-typed row_number — and a hot key past 2.147B sessions would
+    wrap silently under ansi.enabled=false. Must be LongType."""
+    from pyspark.sql.types import LongType
+
+    from pipeline_airflow_docker_spark.operators.intervals import sessionize
+
+    df = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00")], "user_id LONG, event_id LONG, ts_s STRING"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    out = sessionize(df, ["user_id"], "ts", 1800, order_tiebreakers=["event_id"])
+    assert isinstance(out.schema["session_idx"].dataType, LongType)
+
+
 def test_sessionize_single_exchange(spark, sf_dir):
     """Both window passes share one spec -> exactly one shuffle."""
     from pipeline_airflow_docker_spark.catalog import table
