@@ -3,12 +3,32 @@
 Regex-only (emails, SSN-shaped ids, IPv4, phone-shaped numbers): the
 heuristic tier every corpus pipeline runs before any model-based PII
 pass. All patterns are JVM-side ``regexp_replace`` — map-side, no
-shuffle, no Python — and are written in the common subset of Java
-regex and RE2 so the DuckDB oracle replays them byte-identically.
+shuffle, no Python.
 
 Application order is fixed (email -> ssn -> ipv4 -> phone): the phone
 pattern is greedy about digit runs and must come last so it cannot eat
 the digits of an already-matched SSN/IP.
+
+Cross-engine contract (r12 probe findings — the DuckDB oracle replays
+this chain, and the naive "common subset" spelling silently diverged
+in three classes):
+
+- **Word boundaries are ASCII**: a boundary is a transition to/from
+  ``[0-9A-Za-z_]``. Java's bare ``\\b`` is Unicode-aware (``é``,
+  fullwidth ``１``, Devanagari ``०`` count as word chars) while RE2's
+  is ASCII — ``é123-45-6789`` redacted as ``é<PHONE>`` on Spark but
+  ``é<SSN>`` on DuckDB. The contract pins the ASCII semantic: the
+  JAVA_ spellings use zero-width ASCII lookarounds (Java has
+  lookaround, RE2 doesn't), the RE2_ spellings use RE2's ``\\b``,
+  which is exactly the ASCII boundary. ASCII is also the better scrub
+  semantic: ``numéro123-45-6789`` in French text IS an SSN leak.
+- **Whitespace is the explicit Java set** ``[\\t\\n\\x0B\\f\\r ]``:
+  Java ``\\s`` includes vertical tab, RE2's doesn't, so a phone run
+  broken by ``\\x0B`` redacted on Spark only. Both spellings now name
+  the class explicitly.
+
+tests/test_redact_contract.py pins the probe battery side-by-side in
+both engines.
 """
 
 from __future__ import annotations
@@ -16,21 +36,46 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (name, pattern) in application order. Common Java-regex/RE2 subset:
-# no lookarounds, no backrefs.
-PII_PATTERNS: tuple[tuple[str, str], ...] = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
-    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
-    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]"),
+# The explicit Java-\s whitespace class, valid verbatim in both engines.
+_WS = r"[\t\n\x0B\f\r ]"
+# ASCII word-boundary context, two spellings of one semantic (above).
+_JB_L, _JB_R = r"(?<![0-9A-Za-z_])", r"(?![0-9A-Za-z_])"
+
+_SSN_CORE = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_IPV4_CORE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+# (name, java_pattern, re2_pattern) in application order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    ),
+    ("ssn", _JB_L + _SSN_CORE + _JB_R, r"\b" + _SSN_CORE + r"\b"),
+    ("ipv4", _JB_L + _IPV4_CORE + _JB_R, r"\b" + _IPV4_CORE + r"\b"),
+    (
+        "phone",
+        r"\+?[0-9][0-9()" + _WS[1:-1] + r".-]{6,}[0-9]",
+        r"\+?[0-9][0-9()" + _WS[1:-1] + r".-]{6,}[0-9]",
+    ),
 )
 
 
 def redact_expr(text: Column) -> Column:
     """The chained replacement as a column expression."""
     out = text
-    for name, pattern in PII_PATTERNS:
-        out = F.regexp_replace(out, pattern, f"<{name.upper()}>")
+    for name, java_pattern, _ in PII_PATTERNS:
+        out = F.regexp_replace(out, java_pattern, f"<{name.upper()}>")
+    return out
+
+
+def oracle_redact_sql(col: str) -> str:
+    """The identical chain in RE2 spelling, for DuckDB oracles — the
+    single source of truth the graded oracle interpolates."""
+    out = col
+    for name, _, re2_pattern in PII_PATTERNS:
+        lit = re2_pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{lit}', '<{name.upper()}>', 'g')"
     return out
 
 
@@ -42,7 +87,7 @@ def pii_count_expr(text: Column) -> Column:
     the span first). A source text already containing a literal
     ``<EMAIL>``-style token would inflate the count; acceptable for a
     heuristic scrub metric."""
-    token_alt = "|".join(f"<{name.upper()}>" for name, _ in PII_PATTERNS)
+    token_alt = "|".join(f"<{name.upper()}>" for name, _, _ in PII_PATTERNS)
     return F.regexp_count(redact_expr(text), F.lit(token_alt)).cast("int")
 
 

@@ -35,6 +35,7 @@ from pipeline_airflow_docker_spark.operators.similarity import (
     knn_cosine_bucketed,
     knn_cosine_ivf,
 )
+from pipeline_airflow_docker_spark.operators.redact import oracle_redact_sql
 from pipeline_airflow_docker_spark.operators.textstats import (
     fingerprint,
     lang_id,
@@ -1080,22 +1081,20 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
-# C9 PII redaction (operators/redact.py): chained regex scrub in the
-# Java-regex/RE2 common subset; oracle replays the same chain with
-# DuckDB's 'g' flag. Redacted text compared by md5; n_pii counts the
-# replacement tokens in the final text (counting patterns on the raw
-# text would double-count — an SSN/IPv4 is also a phone-shaped run).
+# C9 PII redaction (operators/redact.py): chained regex scrub under
+# the declared ASCII-boundary / explicit-whitespace contract (module
+# docstring there — bare \b and \s diverge across Java and RE2); the
+# oracle interpolates the RE2 spelling from the same PII_PATTERNS
+# table. Redacted text compared by md5; n_pii counts the replacement
+# tokens in the final text (counting patterns on the raw text would
+# double-count — an SSN/IPv4 is also a phone-shaped run).
 # --------------------------------------------------------------------
 @query(
     "q_redact_pii",
-    oracle=r"""
+    oracle=f"""
     WITH r AS (
       SELECT doc_id,
-             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IPV4>', 'g'),
-               '\+?[0-9][0-9()\s.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+             {oracle_redact_sql("text")} AS redacted
       FROM documents
     )
     SELECT doc_id, md5(redacted) AS redacted_md5,
