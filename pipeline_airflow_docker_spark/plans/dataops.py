@@ -206,6 +206,17 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # right plan at this shape. For a *large* dirty side, block first
 # (length or prefix bucket) so candidates meet on an equi-key; the
 # operator stays the same inside each block.
+#
+# Cross-engine contract (r12 probe): Spark's levenshtein counts CODE
+# POINTS, DuckDB's counts BYTES — every non-ASCII pair diverges
+# ('café'/'cafe' = 1 vs 2, one emoji = 1 vs 4). The engine's
+# codepoint semantic is the right one for text; the key is GRADED on
+# the ASCII domain where the two coincide: _TYPOS is literal ASCII
+# and the nation dim is never fuzzed (bounded-blast-radius rule in
+# tools/gen_fuzz_data.py). tests/test_levenshtein_contract.py pins
+# the agreement battery, the divergence discriminator, and an ASCII
+# tripwire on both graded inputs so a fixture roll that opens the
+# non-ASCII surface fails with a pointer, not a hash mismatch.
 # --------------------------------------------------------------------
 _TYPOS = [
     "NATIN_3",
