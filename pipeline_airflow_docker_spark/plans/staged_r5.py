@@ -89,13 +89,18 @@ def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Efraimidis–Spirakis A-ES, weight = n_chars, k = 100. Content-
 # addressed u, so the oracle reproduces the exact sample: score =
 # round(ln((h32 + 0.5) / 2^32) / w, 9), top-k by (score desc, key).
+# The + 0.0 normalizes negative zero (r12 probe): the score tends to
+# 0⁻ as h32 -> 2^32, and round(-tiny) is +0.0 on Spark (BigDecimal
+# has no -0) but -0.0 on DuckDB (binary nearbyint) — a ~2-in-2^32
+# per-doc hash event, unreachable in any fixture but real over a
+# billion-doc corpus. Pinned in test_cast_grammar.py.
 # --------------------------------------------------------------------
 @staged_query(
     "q_sample_weighted",
     oracle=f"""
     SELECT doc_id, n_chars,
            round(ln(({_dd_h32("doc_id")} + 0.5) / 4294967296.0)
-                 / n_chars, 9) AS sample_score
+                 / n_chars, 9) + 0.0 AS sample_score
     FROM documents
     WHERE n_chars > 0
     ORDER BY sample_score DESC, doc_id

@@ -270,3 +270,36 @@ def test_fixture_alphabet_stays_inside_case_agreed_domain(tmp_path):
         " — see the case-mapping domain contract above and the"
         " _UNI_WORDS note in tools/gen_fuzz_data.py"
     )
+
+
+def test_round_negative_zero_normalization(spark):
+    """r12 probe: round(double, n) agrees across engines on every
+    decimal-tie battery value EXCEPT the sign of zero — Spark's round
+    goes through BigDecimal (no -0, emits +0.0), DuckDB's through
+    binary arithmetic (keeps -0.0). The one graded site whose rounded
+    argument can be a tiny negative (q_sample_weighted's ln-score as
+    h32 -> 2^32) therefore normalizes oracle-side with + 0.0. Pins:
+    (1) Spark round never emits -0.0, (2) DuckDB round does (the
+    discriminator), (3) + 0.0 restores agreement."""
+    import duckdb as _duck
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    s = (
+        spark.createDataFrame([(-1e-308,), (-2.5e-10,)], "v double")
+        .select(F.round("v", 9).alias("r"))
+        .collect()
+    )
+    for r in s:
+        assert _struct.pack("d", r.r) == _struct.pack("d", 0.0), r.r
+    con = _duck.connect()
+    raw = con.execute("SELECT round(CAST(-1e-308 AS DOUBLE), 9)").fetchone()[0]
+    assert _struct.pack("d", raw) == _struct.pack("d", -0.0), (
+        "DuckDB round no longer emits -0.0 — the + 0.0 normalization "
+        "in q_sample_weighted's oracle can be dropped"
+    )
+    fixed = con.execute(
+        "SELECT round(CAST(-1e-308 AS DOUBLE), 9) + 0.0"
+    ).fetchone()[0]
+    assert _struct.pack("d", fixed) == _struct.pack("d", 0.0)
