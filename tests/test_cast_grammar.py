@@ -303,3 +303,48 @@ def test_round_negative_zero_normalization(spark):
         "SELECT round(CAST(-1e-308 AS DOUBLE), 9) + 0.0"
     ).fetchone()[0]
     assert _struct.pack("d", fixed) == _struct.pack("d", 0.0)
+
+
+def test_date_functions_agree_on_proleptic_edges(spark):
+    """r12 probe: YEAR/MONTH/DAYOFMONTH/DATE_TRUNC/DATE_DIFF agree
+    across engines on the full proleptic-Gregorian range — including
+    the 1582 calendar-transition window (both engines are proleptic;
+    a future engine upgrade that reintroduces Julian handling, as
+    Spark <3.0 had, breaks here first), century leap rules, and the
+    year-1/9999 bounds. Agreement battery, not a contract: no graded
+    fixture leaves 1992-2025, but the date keys shouldn't depend on
+    that."""
+    import datetime as _dt
+
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    dates = [
+        _dt.date(1, 1, 1), _dt.date(1582, 10, 4), _dt.date(1582, 10, 15),
+        _dt.date(1600, 2, 29), _dt.date(1900, 3, 1), _dt.date(2000, 2, 29),
+        _dt.date(2024, 2, 29), _dt.date(9999, 12, 31), _dt.date(1970, 1, 1),
+        _dt.date(1969, 12, 31),
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(dates)], "i int, d date")
+    got = {
+        r.i: (r.y, r.m, r.dd, r.tr, r.dif)
+        for r in df.select(
+            "i",
+            F.year("d").alias("y"),
+            F.month("d").alias("m"),
+            F.dayofmonth("d").alias("dd"),
+            F.date_trunc("month", "d").cast("string").alias("tr"),
+            F.datediff(F.lit(_dt.date(2002, 1, 1)), F.col("d")).alias("dif"),
+        ).collect()
+    }
+    con = _duck.connect()
+    for i, d in enumerate(dates):
+        row = con.execute(
+            "SELECT YEAR(?::DATE), MONTH(?::DATE), DAYOFMONTH(?::DATE), "
+            "strftime(CAST(DATE_TRUNC('month', ?::DATE) AS TIMESTAMP), "
+            "'%Y-%m-%d %H:%M:%S'), "
+            "DATE_DIFF('day', ?::DATE, DATE '2002-01-01')",
+            [d] * 5,
+        ).fetchone()
+        assert tuple(map(str, got[i])) == tuple(map(str, row)), (d, got[i], row)
