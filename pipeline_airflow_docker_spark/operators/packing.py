@@ -41,6 +41,13 @@ def pack_sequences(
     coarse ``part_cols`` group (one language) holds trillions of
     tokens at corpus scale — far past 2^31 packs. ``pack_offset``
     stays INT (bounded below ``seq_len`` by construction).
+
+    The cut uses exact integer division (``div``), not
+    ``floor(start / seq_len)``: ``/`` is DOUBLE division, and past
+    ~2^52 cumulative tokens the quotient rounds ACROSS integer
+    boundaries before floor sees it (floor((2^54-1)/4) = 2^52 in
+    IEEE double; the true pack is 2^52 - 1) — off-by-one pack
+    assignment with no error, in both engines identically.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -50,8 +57,8 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
-    return df.select(
+    return df.select(*df.columns, start.alias("__start_tok")).select(
         *df.columns,
-        F.floor(start / seq_len).alias("pack_id"),
-        (start % seq_len).cast("int").alias("pack_offset"),
+        F.expr(f"__start_tok div {int(seq_len)}").alias("pack_id"),
+        (F.col("__start_tok") % seq_len).cast("int").alias("pack_offset"),
     )

@@ -1149,7 +1149,7 @@ def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pack_sequences",
     oracle="""
     SELECT doc_id, lang, n_tokens,
-           CAST(floor(start / 256) AS BIGINT) AS pack_id,
+           CAST(start // 256 AS BIGINT) AS pack_id,
            CAST(start % 256 AS INT) AS pack_offset
     FROM (
       SELECT doc_id, lang, n_tokens,

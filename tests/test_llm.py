@@ -720,6 +720,28 @@ def test_pack_sequences_pack_id_is_bigint(spark):
     )
 
 
+def test_pack_sequences_exact_division_past_2_52(spark):
+    """Red fence (r12): the cut must use exact integer division.
+    floor(start / seq_len) goes through DOUBLE division, which rounds
+    ACROSS integer boundaries past ~2^52 cumulative tokens —
+    floor((2^54-1)/4) = 2^52 in IEEE double, one pack too far, in
+    both engines identically (so parity could never catch it)."""
+    from pipeline_airflow_docker_spark.operators.packing import pack_sequences
+
+    big = 2**54 - 1  # = 4k - 1; true (big div 4) = 2^52 - 1
+    rows = [(1, big), (2, 10)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens long")
+    out = pack_sequences(df, "n_tokens", 4, order_cols=("doc_id",))
+    got = {r.doc_id: (r.pack_id, r.pack_offset) for r in out.collect()}
+    assert got[2] == (2**52 - 1, 3)
+    # Discriminator: the double-division shape is off by one here.
+    wrong = df.select(F.floor(F.lit(big) / 4).alias("f")).collect()[0].f
+    assert wrong == 2**52, (
+        "floor(double) division is exact now — if Spark changed `/` "
+        "semantics on longs, this fence can be re-evaluated"
+    )
+
+
 def test_pack_sequences_partition_isolation(spark):
     """part_cols pack independently: each group restarts at pack 0."""
     from pipeline_airflow_docker_spark.operators.packing import pack_sequences
