@@ -348,3 +348,52 @@ def test_date_functions_agree_on_proleptic_edges(spark):
             [d] * 5,
         ).fetchone()
         assert tuple(map(str, got[i])) == tuple(map(str, row)), (d, got[i], row)
+
+
+def test_json_number_token_rendering_divergence_is_contracted(spark):
+    """r12 probe: the engines DISAGREE on re-rendering extracted JSON
+    number tokens — a >int64 digit run comes back raw from Spark's
+    get_json_object but as '1e23' from yyjson's json_extract_string,
+    and 1e999 overflows to the quoted Jackson artifact '"Infinity"'
+    on Spark vs bare 'Infinity' on DuckDB. The graded keys are immune
+    BY CONSTRUCTION — q_fn_map unquotes the Jackson artifact and
+    routes both spellings through DOUBLE_LITERAL_RE into the same
+    double; q_try_cast's INT grammar rejects '1e23' where Spark's
+    raw digits pass then overflow to NULL — NULL on both, by
+    different gates. This pins the raw divergence (so an engine
+    upgrade that changes rendering is noticed) and the convergence
+    of the contracted routes."""
+    import duckdb as _duck
+
+    from pyspark.sql import functions as F
+
+    from pipeline_airflow_docker_spark.plans.contracts import (
+        DOUBLE_LITERAL_RE,
+        INT_LITERAL_RE,
+    )
+
+    doc = '{"k": 100000000000000000000000}'
+    s_raw = (
+        spark.createDataFrame([(doc,)], "j string")
+        .select(F.get_json_object("j", "$.k").alias("v"))
+        .collect()[0]
+        .v
+    )
+    d_raw = _duck.connect().execute(
+        "SELECT json_extract_string(?::JSON, '$.k')", [doc]
+    ).fetchone()[0]
+    assert s_raw == "100000000000000000000000"
+    assert d_raw == "1e23", (
+        "yyjson no longer re-renders big ints — re-evaluate whether "
+        "the DOUBLE-route convergence contract is still needed"
+    )
+    import re as _re
+
+    # INT route: raw digits pass the grammar (then overflow to NULL
+    # in the cast — pinned by the cast-grammar battery); '1e23' fails.
+    assert _re.match(INT_LITERAL_RE, s_raw)
+    assert not _re.match(INT_LITERAL_RE, d_raw)
+    # DOUBLE route: both spellings pass and parse to the same double.
+    assert _re.match(DOUBLE_LITERAL_RE, s_raw)
+    assert _re.match(DOUBLE_LITERAL_RE, d_raw)
+    assert float(s_raw) == float(d_raw) == 1e23
