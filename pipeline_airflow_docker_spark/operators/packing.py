@@ -49,6 +49,11 @@ def pack_sequences(
     IEEE double; the true pack is 2^52 - 1) — off-by-one pack
     assignment with no error, in both engines identically.
     """
+    if not isinstance(seq_len, int) or isinstance(seq_len, bool):
+        # A float seq_len (e.g. 256.5 past the annotation) would
+        # silently use int(seq_len) in the pack_id `div` but the raw
+        # value in the pack_offset `%` — two different denominators.
+        raise TypeError(f"seq_len must be an int, got {seq_len!r}")
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     w = (
@@ -59,6 +64,6 @@ def pack_sequences(
     start = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
     return df.select(*df.columns, start.alias("__start_tok")).select(
         *df.columns,
-        F.expr(f"__start_tok div {int(seq_len)}").alias("pack_id"),
+        F.expr(f"__start_tok div {seq_len}").alias("pack_id"),
         (F.col("__start_tok") % seq_len).cast("int").alias("pack_offset"),
     )

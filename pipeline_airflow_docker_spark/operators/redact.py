@@ -11,7 +11,9 @@ the digits of an already-matched SSN/IP.
 
 Cross-engine contract (r12 probe findings — the DuckDB oracle replays
 this chain, and the naive "common subset" spelling silently diverged
-in three classes):
+in two root-cause classes, the first with two observed manifestations
+— non-ASCII letters AND non-ASCII digits both count as Java word
+chars):
 
 - **Word boundaries are ASCII**: a boundary is a transition to/from
   ``[0-9A-Za-z_]``. Java's bare ``\\b`` is Unicode-aware (``é``,
@@ -79,6 +81,17 @@ def oracle_redact_sql(col: str) -> str:
     return out
 
 
+def pii_token_alternation() -> str:
+    """``<EMAIL>|<SSN>|<IPV4>|<PHONE>`` derived from ``PII_PATTERNS`` —
+    the single source of truth for counting replacement tokens. Both
+    the engine-side count and the graded oracle interpolate THIS, so
+    adding a pattern to the table can never desync them (it would
+    otherwise surface only as a confusing parity-count mismatch). The
+    literal tokens contain no regex metacharacters, so the same string
+    is valid in Java regex and RE2."""
+    return "|".join(f"<{name.upper()}>" for name, _, _ in PII_PATTERNS)
+
+
 def pii_count_expr(text: Column) -> Column:
     """Spans actually redacted: replacement tokens counted in the
     final text. Counting patterns on the original text instead would
@@ -87,8 +100,9 @@ def pii_count_expr(text: Column) -> Column:
     the span first). A source text already containing a literal
     ``<EMAIL>``-style token would inflate the count; acceptable for a
     heuristic scrub metric."""
-    token_alt = "|".join(f"<{name.upper()}>" for name, _, _ in PII_PATTERNS)
-    return F.regexp_count(redact_expr(text), F.lit(token_alt)).cast("int")
+    return F.regexp_count(
+        redact_expr(text), F.lit(pii_token_alternation())
+    ).cast("int")
 
 
 def redact_pii(

@@ -35,7 +35,10 @@ from pipeline_airflow_docker_spark.operators.similarity import (
     knn_cosine_bucketed,
     knn_cosine_ivf,
 )
-from pipeline_airflow_docker_spark.operators.redact import oracle_redact_sql
+from pipeline_airflow_docker_spark.operators.redact import (
+    oracle_redact_sql,
+    pii_token_alternation,
+)
 from pipeline_airflow_docker_spark.operators.textstats import (
     fingerprint,
     lang_id,
@@ -1098,7 +1101,7 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, md5(redacted) AS redacted_md5,
-           CAST(len(regexp_extract_all(redacted, '<EMAIL>|<SSN>|<IPV4>|<PHONE>')) AS INT)
+           CAST(len(regexp_extract_all(redacted, '{pii_token_alternation()}')) AS INT)
              AS n_pii
     FROM r
     """,

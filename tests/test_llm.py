@@ -687,6 +687,13 @@ def test_pack_sequences_layout(spark):
     assert got[9] == (2, 70)
     with pytest.raises(ValueError):
         pack_sequences(df, "n_tokens", 0)
+    # r12 ADVICE: a non-integral seq_len would silently use int(x) in
+    # the pack_id `div` but the raw value in the pack_offset `%` —
+    # two different denominators. Rejected at the door.
+    with pytest.raises(TypeError):
+        pack_sequences(df, "n_tokens", 256.5)
+    with pytest.raises(TypeError):
+        pack_sequences(df, "n_tokens", True)
 
 
 def test_pack_sequences_pack_id_is_bigint(spark):

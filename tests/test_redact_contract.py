@@ -3,7 +3,9 @@ permanent test (round 12).
 
 The r12 probe ran the redaction chain side-by-side through Spark
 (Java regex) and DuckDB (RE2) on a 34-text hostile battery and found
-three silent divergence classes in the "common subset" spelling:
+two root-cause divergence classes in the "common subset" spelling
+(the first with two observed manifestations — non-ASCII letters and
+non-ASCII digits are both Java word chars):
 
 1. Java's bare ``\\b`` is Unicode-aware, RE2's is ASCII —
    ``é123-45-6789`` redacted as ``é<PHONE>`` on Spark, ``é<SSN>`` on
