@@ -20,6 +20,11 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType
+
+from pipeline_airflow_docker_spark.functions.numeric import (
+    portable_double_repr,
+)
 
 # Field separator / null sentinel chosen to not occur in the data; an
 # ambiguous concat would hash ("a", None) and ("a", "") identically.
@@ -31,9 +36,26 @@ def row_hash(df: DataFrame, cols: Sequence[str]) -> F.Column:
     """Engine-portable row digest: md5 over the compared columns in
     declaration order, null-safe. (xxhash64 would be cheaper but is
     Spark-only; md5 reproduces in any engine, which keeps diffs
-    oracle-checkable and lets two *different* engines reconcile.)"""
+    oracle-checkable and lets two *different* engines reconcile.)
+
+    DOUBLE/FLOAT columns render through
+    :func:`~pipeline_airflow_docker_spark.functions.numeric.portable_double_repr`
+    (bit-exact ``%a`` hex-float), NOT the native string cast: native
+    double->string is a per-engine dialect (Spark ``1.0E7`` vs DuckDB
+    ``10000000.0`` past 1e7, ``Infinity`` vs ``inf``), so the naive
+    digest only reconciled across engines while every double happened
+    to sit inside the plain-notation window [1e-3, 1e7) — green by
+    fixture range, broken on the first big-valued column (r13 probe;
+    the q_fuzzy_join ASCII-accident class)."""
+    by_name = {f.name: f.dataType for f in df.schema.fields}
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols
+        F.coalesce(
+            portable_double_repr(c)
+            if isinstance(by_name.get(c), (DoubleType, FloatType))
+            else F.col(c).cast("string"),
+            F.lit(_NULL),
+        )
+        for c in cols
     ]
     return F.md5(F.concat_ws(_SEP, *parts))
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.catalog import register_views, table
+from pipeline_airflow_docker_spark.functions.numeric import oracle_double_repr
 from pipeline_airflow_docker_spark.operators.intervals import bin_interval_join
 from pipeline_airflow_docker_spark.operators.profile import (
     histogram_fixed,
@@ -484,10 +485,15 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 _DIFF_NULL = "'\\x00∅'"
 
+# o_totalprice is DOUBLE: the row hash renders it through the %a
+# hex-float contract (functions/numeric.py::portable_double_repr) —
+# the native ::VARCHAR spelling is a per-engine dialect past 1e7.
+_DIFF_PRICE = oracle_double_repr("o_totalprice")
+
 
 @query(
     "q_table_diff",
-    oracle="""
+    oracle=f"""
     WITH old AS (
       SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
       FROM orders WHERE o_orderkey % 101 <> 0
@@ -503,13 +509,13 @@ _DIFF_NULL = "'\\x00∅'"
     oh AS (
       SELECT o_orderkey,
              md5(concat_ws(chr(31), o_custkey::VARCHAR,
-                           o_totalprice::VARCHAR, o_orderpriority)) AS h
+                           {_DIFF_PRICE}, o_orderpriority)) AS h
       FROM old
     ),
     nh AS (
       SELECT o_orderkey,
              md5(concat_ws(chr(31), o_custkey::VARCHAR,
-                           o_totalprice::VARCHAR, o_orderpriority)) AS h
+                           {_DIFF_PRICE}, o_orderpriority)) AS h
       FROM new
     )
     SELECT o_orderkey, change FROM (
