@@ -350,6 +350,54 @@ def test_date_functions_agree_on_proleptic_edges(spark):
         assert tuple(map(str, got[i])) == tuple(map(str, row)), (d, got[i], row)
 
 
+def test_date_timestamp_rendering_agrees(spark):
+    """r13 probe: unlike double->string (a full dialect, SCALE.md
+    §18), DATE/TIMESTAMP->string AGREE across engines everywhere in
+    the positive-year range — zero-padding to 4-digit years
+    ('0099-12-31'), fractional-second trailing-zero trimming
+    ('.120000' -> '.12', '.5' stays '.5'), whole seconds with no
+    fraction, and both bounds (0001-01-01, 9999-12-31 23:59:59.999999)
+    — so q_fn_map's 'day' entry (CAST(date AS STRING), a graded
+    compared column) is safe on any representable fixture date, not
+    just the 1900-9999 era block the fuzz axis rolls. The one
+    divergence is BC years (Spark '-0001-01-01', DuckDB
+    '0001-01-01 (BC)'), unreachable behind the declared event-time
+    plausibility horizon; pinned as the discriminator."""
+    import duckdb as _duck
+
+    _pairs_date = ["0001-01-01", "0099-12-31", "0999-06-15", "1000-01-01",
+                   "1582-10-04", "1582-10-15", "9999-12-31"]
+    _pairs_ts = ["0001-01-01 00:00:00", "1969-12-31 23:59:59.5",
+                 "2024-06-01 12:34:56.123456", "2024-06-01 12:34:56.120000",
+                 "2024-06-01 12:34:56", "9999-12-31 23:59:59.999999",
+                 "0099-01-01 01:02:03.000001"]
+    con = _duck.connect()
+    for d in _pairs_date:
+        s = spark.sql(f"SELECT CAST(DATE'{d}' AS STRING)").collect()[0][0]
+        k = con.execute(f"SELECT CAST(DATE '{d}' AS VARCHAR)").fetchone()[0]
+        assert s == k == d, (d, s, k)
+    for t in _pairs_ts:
+        s = spark.sql(f"SELECT CAST(TIMESTAMP'{t}' AS STRING)").collect()[0][0]
+        k = con.execute(f"SELECT CAST(TIMESTAMP '{t}' AS VARCHAR)").fetchone()[0]
+        assert s == k, (t, s, k)
+    # trailing-zero trimming is identical, not just compatible
+    assert (
+        spark.sql(
+            "SELECT CAST(TIMESTAMP'2024-06-01 12:34:56.120000' AS STRING)"
+        ).collect()[0][0]
+        == "2024-06-01 12:34:56.12"
+    )
+    # the BC discriminator: if either spelling moves, re-probe the range
+    assert (
+        spark.sql("SELECT CAST(DATE'-0001-01-01' AS STRING)").collect()[0][0]
+        == "-0001-01-01"
+    )
+    assert (
+        con.execute("SELECT CAST(DATE '0001-01-01 (BC)' AS VARCHAR)").fetchone()[0]
+        == "0001-01-01 (BC)"
+    )
+
+
 def test_json_number_token_rendering_divergence_is_contracted(spark):
     """r12 probe: the engines DISAGREE on re-rendering extracted JSON
     number tokens — a >int64 digit run comes back raw from Spark's
