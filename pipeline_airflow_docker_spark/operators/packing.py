@@ -19,6 +19,8 @@ driver-side state.
 
 from __future__ import annotations
 
+import numbers
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -49,11 +51,14 @@ def pack_sequences(
     IEEE double; the true pack is 2^52 - 1) — off-by-one pack
     assignment with no error, in both engines identically.
     """
-    if not isinstance(seq_len, int) or isinstance(seq_len, bool):
+    if not isinstance(seq_len, numbers.Integral) or isinstance(seq_len, bool):
         # A float seq_len (e.g. 256.5 past the annotation) would
         # silently use int(seq_len) in the pack_id `div` but the raw
         # value in the pack_offset `%` — two different denominators.
-        raise TypeError(f"seq_len must be an int, got {seq_len!r}")
+        # Integral covers numpy.int64 etc.; normalized below so both
+        # denominators are the same builtin int.
+        raise TypeError(f"seq_len must be an integer, got {seq_len!r}")
+    seq_len = int(seq_len)
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     w = (

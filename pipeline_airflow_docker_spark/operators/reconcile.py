@@ -30,6 +30,7 @@ from pipeline_airflow_docker_spark.functions.numeric import (
 # ambiguous concat would hash ("a", None) and ("a", "") identically.
 _SEP = "\x1f"
 _NULL = "\x00∅"
+_MISSING = object()
 
 
 def row_hash(df: DataFrame, cols: Sequence[str]) -> F.Column:
@@ -47,11 +48,39 @@ def row_hash(df: DataFrame, cols: Sequence[str]) -> F.Column:
     to sit inside the plain-notation window [1e-3, 1e7) — green by
     fixture range, broken on the first big-valued column (r13 probe;
     the q_fuzzy_join ASCII-accident class)."""
+    # Spark resolves column references case-insensitively by default
+    # (spark.sql.caseSensitive=false), so the type lookup must too —
+    # an exact-match dict would silently route a differently-cased
+    # DOUBLE through the native string cast, reviving the per-engine
+    # dialect this function exists to avoid. Ambiguous casefold
+    # collisions (two fields differing only in case) stay exact-only;
+    # a name matching neither way raises instead of guessing.
     by_name = {f.name: f.dataType for f in df.schema.fields}
+    by_fold: dict[str, object] = {}
+    for f in df.schema.fields:
+        key = f.name.casefold()
+        by_fold[key] = None if key in by_fold else f.dataType
+
+    def _dtype(name: str):
+        if name in by_name:
+            return by_name[name]
+        folded = by_fold.get(name.casefold(), _MISSING)
+        if folded is _MISSING:
+            raise ValueError(
+                f"row_hash: column {name!r} not found in schema "
+                f"{sorted(by_name)}"
+            )
+        if folded is None:
+            raise ValueError(
+                f"row_hash: column {name!r} is ambiguous under "
+                f"case-insensitive resolution; use the exact case"
+            )
+        return folded
+
     parts = [
         F.coalesce(
             portable_double_repr(c)
-            if isinstance(by_name.get(c), (DoubleType, FloatType))
+            if isinstance(_dtype(c), (DoubleType, FloatType))
             else F.col(c).cast("string"),
             F.lit(_NULL),
         )

@@ -694,6 +694,16 @@ def test_pack_sequences_layout(spark):
         pack_sequences(df, "n_tokens", 256.5)
     with pytest.raises(TypeError):
         pack_sequences(df, "n_tokens", True)
+    # r13 ADVICE: non-builtin integral types (numpy.int64 from a
+    # computed config) are fine — Integral accepted, normalized to int
+    # so the div and % denominators stay identical.
+    import numpy as np
+
+    np_out = pack_sequences(
+        df, "n_tokens", np.int64(100), order_cols=("doc_id",)
+    )
+    got_np = {r.doc_id: (r.pack_id, r.pack_offset) for r in np_out.collect()}
+    assert got_np == got
 
 
 def test_pack_sequences_pack_id_is_bigint(spark):

@@ -49,6 +49,7 @@ import random
 import struct
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.functions.numeric import (
@@ -203,3 +204,38 @@ def test_row_hash_reconciles_across_engines(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_row_hash_resolves_columns_case_insensitively(spark):
+    """r13 ADVICE: Spark resolves column references case-insensitively
+    by default, so the DOUBLE-detection lookup must too — an
+    exact-match dict would silently route 'V' (schema: 'v' DOUBLE)
+    through the native string cast, reviving the per-engine dialect.
+    And a name matching nothing must raise, never silently fall back."""
+    from pipeline_airflow_docker_spark.operators.reconcile import row_hash
+
+    df = spark.createDataFrame([(1, 1e7)], "k int, v double")
+    # 1e7 is exactly where native Spark rendering goes sci-notation:
+    # the %a route and the native-cast route produce different digests.
+    exact = df.select(row_hash(df, ["v"]).alias("h")).collect()[0].h
+    cased = df.select(row_hash(df, ["V"]).alias("h")).collect()[0].h
+    assert cased == exact
+    with pytest.raises(ValueError, match="not found"):
+        row_hash(df, ["nope"])
+
+
+def test_row_hash_rejects_ambiguous_casefold_collision(spark):
+    """Two fields differing only in case: exact names still work,
+    a third casing raises rather than guessing which type to use."""
+    from pipeline_airflow_docker_spark.operators.reconcile import row_hash
+
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        df = spark.createDataFrame([(1.5, "x")], "val double, VAL string")
+        assert df.select(
+            row_hash(df, ["val"]).alias("a"), row_hash(df, ["VAL"]).alias("b")
+        ).collect()
+        with pytest.raises(ValueError, match="ambiguous"):
+            row_hash(df, ["Val"])
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
