@@ -90,7 +90,13 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves ~1 s startup + a port per test
+        # process); SPARK_GRAFT_UI=1 enables it so tools/stage_bytes.py
+        # can read per-stage input/shuffle bytes from the REST API.
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") else "false",
+        )
     )
     if master.startswith("local"):
         # Local-mode split sizing only. The driver testdata is a single
