@@ -17,7 +17,16 @@ from pyspark.sql import functions as F
 
 def dec(col: Column | str, precision: int = 18, scale: int = 4) -> Column:
     """Cast to exact decimal (input doubles in the test tables carry at
-    most 2 fractional digits; scale=4 leaves headroom for products)."""
+    most 2 fractional digits; scale=4 leaves headroom for products).
+
+    Input domain: FINITE doubles within the decimal's range. Outside
+    it the engines split (r14 probe, pinned in
+    tests/test_numrender_contract.py): Spark (ansi off) renders
+    NaN/Inf/overflow as silent NULL — so a SUM quietly skips them —
+    while DuckDB's CAST raises, and even TRY_CAST raises on NaN
+    (overflow it does NULL). Feed this only columns whose non-finite
+    values have been filtered or quarantined (B44's tolerant-cast
+    path is the front door for dirty numerics)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({precision},{scale})")
 

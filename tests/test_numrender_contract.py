@@ -206,6 +206,47 @@ def test_row_hash_reconciles_across_engines(spark):
     assert got == want
 
 
+def test_nonfinite_double_to_decimal_is_an_engine_boundary(spark):
+    """r14 probe: outside dec()'s finite input domain the engines
+    split three ways — Spark (ansi off) silently NULLs NaN, Inf, AND
+    decimal-overflow (so decimal SUMs skip them); DuckDB CAST raises
+    on all three; DuckDB TRY_CAST catches overflow (NULL) but STILL
+    raises on NaN. Pinned as discriminators so a change in either
+    engine resurfaces the domain question. sum(double) with NaN
+    agrees (NaN) — the split is decimal-only."""
+    row = spark.sql(
+        "SELECT CAST(CAST('NaN' AS DOUBLE) AS DECIMAL(18,4)) AS a,"
+        " CAST(CAST('Infinity' AS DOUBLE) AS DECIMAL(18,4)) AS b,"
+        " CAST(CAST(1e30 AS DOUBLE) AS DECIMAL(18,4)) AS c"
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == (None, None, None)
+    con = duckdb.connect()
+    for sql in (
+        "SELECT CAST(CAST('NaN' AS DOUBLE) AS DECIMAL(18,4))",
+        "SELECT CAST(CAST('Infinity' AS DOUBLE) AS DECIMAL(18,4))",
+        "SELECT CAST(CAST(1e30 AS DOUBLE) AS DECIMAL(18,4))",
+        "SELECT TRY_CAST(CAST('NaN' AS DOUBLE) AS DECIMAL(18,4))",
+    ):
+        try:
+            con.execute(sql)
+            raise AssertionError(f"DuckDB now accepts: {sql} — re-probe")
+        except (duckdb.ConversionException, duckdb.InvalidInputException):
+            pass
+    assert con.execute(
+        "SELECT TRY_CAST(CAST(1e30 AS DOUBLE) AS DECIMAL(18,4))"
+    ).fetchone()[0] is None
+    # double SUM with NaN agrees — the split is the decimal door only
+    s = spark.sql(
+        "SELECT SUM(v) AS s FROM (VALUES (CAST('NaN' AS DOUBLE)),"
+        " (CAST(1.5 AS DOUBLE))) AS t(v)"
+    ).collect()[0].s
+    d = con.execute(
+        "SELECT SUM(v) FROM (VALUES (CAST('NaN' AS DOUBLE)),"
+        " (CAST(1.5 AS DOUBLE))) AS t(v)"
+    ).fetchone()[0]
+    assert math.isnan(s) and math.isnan(d)
+
+
 def test_row_hash_resolves_columns_case_insensitively(spark):
     """r13 ADVICE: Spark resolves column references case-insensitively
     by default, so the DOUBLE-detection lookup must too — an
