@@ -38,6 +38,52 @@ def test_case_mapping_engine_semantics(spark):
     assert row["lo_len"] == 9
 
 
+def test_case_mapping_divergence_classes_r14(spark):
+    """r14 probe: three MORE special-casing divergence classes beyond
+    r7's ß/İ — all the same policy (Spark's Java full case mapping is
+    the contract; the code points stay out of graded fixtures):
+
+    - ligatures EXPAND on Spark ('ﬁle' -> 'FILE'), stay unmapped on
+      DuckDB ('ﬁLE');
+    - U+0149 'ŉ' expands to ʼN on Spark, unchanged on DuckDB;
+    - lower() applies the Greek FINAL-SIGMA context rule on Spark
+      ('ΣΙΣΥΦΟΣ' -> trailing ς), not on DuckDB (trailing σ).
+
+    And the AGREEMENT points that keep fuzz text safe: 1:1 mappings
+    (dotless ı -> I), titlecase digraphs (ǅ), the PRE-decomposed
+    ʼ + n pair, and astral pass-through."""
+    import duckdb
+
+    rows = spark.createDataFrame(
+        [("ﬁle", "ŉ", "ΣΙΣΥΦΟΣ", "ıi", "ǅungla", "ʼn", "𝔘nicode")],
+        "lig string, n149 string, sigma string, dotless string,"
+        " digraph string, decomp string, astral string",
+    ).select(
+        F.upper("lig").alias("lig_u"),
+        F.upper("n149").alias("n149_u"),
+        F.lower("sigma").alias("sigma_l"),
+        F.upper("dotless").alias("dotless_u"),
+        F.upper("digraph").alias("digraph_u"),
+        F.upper("decomp").alias("decomp_u"),
+        F.upper("astral").alias("astral_u"),
+    ).collect()[0]
+    assert rows.lig_u == "FILE"        # expansion
+    assert rows.n149_u == "ʼN"         # expansion
+    assert rows.sigma_l == "σισυφος"   # context rule: final ς
+    con = duckdb.connect()
+    d = con.execute(
+        "SELECT upper('ﬁle'), upper('ŉ'), lower('ΣΙΣΥΦΟΣ')"
+    ).fetchone()
+    assert d == ("ﬁLE", "ŉ", "σισυφοσ")  # divergence discriminators
+    # agreement points — identical in DuckDB:
+    agree = con.execute(
+        "SELECT upper('ıi'), upper('ǅungla'), upper('ʼn'), upper('𝔘nicode')"
+    ).fetchone()
+    assert agree == (
+        rows.dotless_u, rows.digraph_u, rows.decomp_u, rows.astral_u
+    ) == ("II", "ǄUNGLA", "ʼN", "𝔘NICODE")
+
+
 def test_probed_safe_surface_is_stable(spark):
     """The UNI_TOKENS surface the fuzzer rolls: code-point length and
     round-trip identity under trim/upper-lower for the categories the
