@@ -55,6 +55,14 @@ def row_hash(df: DataFrame, cols: Sequence[str]) -> F.Column:
     # dialect this function exists to avoid. Ambiguous casefold
     # collisions (two fields differing only in case) stay exact-only;
     # a name matching neither way raises instead of guessing.
+    # casefold() is INTENTIONALLY stricter than Spark's per-char
+    # equalsIgnoreCase resolver on exotic case mappings ('İ' casefolds
+    # to 'i̇', so Python won't match the 'i' Spark would): the
+    # mismatch can only fail CLOSED (raise "not found" on a name Spark
+    # resolves), never silently pick the wrong type — and Java's
+    # char-level toUpper/toLower round-trip is not reproducible with
+    # any Python str method, so strict-and-documented beats
+    # almost-matching (r14 ADVICE).
     by_name = {f.name: f.dataType for f in df.schema.fields}
     by_fold: dict[str, object] = {}
     for f in df.schema.fields:

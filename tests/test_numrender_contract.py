@@ -270,6 +270,7 @@ def test_row_hash_rejects_ambiguous_casefold_collision(spark):
     a third casing raises rather than guessing which type to use."""
     from pipeline_airflow_docker_spark.operators.reconcile import row_hash
 
+    saved = spark.conf.get("spark.sql.caseSensitive")
     spark.conf.set("spark.sql.caseSensitive", "true")
     try:
         df = spark.createDataFrame([(1.5, "x")], "val double, VAL string")
@@ -279,4 +280,7 @@ def test_row_hash_rejects_ambiguous_casefold_collision(spark):
         with pytest.raises(ValueError, match="ambiguous"):
             row_hash(df, ["Val"])
     finally:
-        spark.conf.set("spark.sql.caseSensitive", "false")
+        # Restore the value saved above, not a hardcoded default —
+        # brittle otherwise if the shared fixture ever changes the
+        # conf (r14 ADVICE).
+        spark.conf.set("spark.sql.caseSensitive", saved)

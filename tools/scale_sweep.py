@@ -30,7 +30,7 @@ from tools.plan_audit import is_streaming  # noqa: E402
 DEFAULT_SKIP = {"q_dedup_embedding", "q_dedup_ngram", "q_semdedup"}
 
 
-def _gapfill_capped(spark, sf_dir):
+def _gapfill_capped_prepare(spark, sf_dir):
     """q_gapfill's documented scale path, measured IN-sweep (r11
     verdict #3): the uncapped min..max grid legitimately exceeds any
     fill budget on a sparse-enough corpus (sf10: a 95.4M-bucket grid,
@@ -60,16 +60,28 @@ def _gapfill_capped(spark, sf_dir):
     # for true overruns stay untouched (pinned in
     # tests/test_timeseries.py and exercised by the graded uncapped
     # q_gapfill key).
+    # The budget scan runs HERE, in the untimed prepare step — r14 ran
+    # it inside the timed region, so r14's q_gapfill(capped) wall
+    # includes one extra full scan of the filtered events table that
+    # r13's and r15+'s numbers don't (r14 ADVICE; noted in the r15
+    # evidence header so the delta isn't misread as a speedup).
     budget = 25 * (e.count() or 1)
-    return gap_fill_hourly(
-        e, "user_id", "ts", "value",
-        max_fill_steps=budget, max_gap_hours=24,
-    )
+
+    def run(spark, sf_dir):
+        return gap_fill_hourly(
+            e, "user_id", "ts", "value",
+            max_fill_steps=budget, max_gap_hours=24,
+        )
+
+    return run
 
 
 # Keys whose graded form refuses by design at big SFs get their
-# documented scale path timed instead, under a "(capped)" label.
-CAPPED_VARIANTS = {"q_gapfill": ("q_gapfill(capped)", _gapfill_capped)}
+# documented scale path timed instead, under a "(capped)" label. The
+# value is a PREPARE function: called untimed, returns the (spark,
+# sf_dir) callable the sweep times — so budget scans and other setup
+# stay out of the reported wall-clock.
+CAPPED_VARIANTS = {"q_gapfill": ("q_gapfill(capped)", _gapfill_capped_prepare)}
 
 
 def main() -> int:
@@ -91,7 +103,11 @@ def main() -> int:
     ]
     results: list[tuple[str, float | None, str]] = []
     for name in keys:
-        label, fn = CAPPED_VARIANTS.get(name, (name, plans.QUERIES[name]))
+        if name in CAPPED_VARIANTS:
+            label, prepare = CAPPED_VARIANTS[name]
+            fn = prepare(spark, args.sf)  # untimed: budget scans etc.
+        else:
+            label, fn = name, plans.QUERIES[name]
         t0 = time.time()
         try:
             df = fn(spark, args.sf)
