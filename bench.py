@@ -4,22 +4,40 @@
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the sum of per-query wall-clock seconds; each per-query
-number is the MINIMUM of ``SPARK_GRAFT_BENCH_REPS`` (default 5) runs
-after a discarded warmup. Round 4 moved the aggregate from median to
-min: this box is multi-tenant, and repeated runs of an identical
-0.5-second plan sporadically stall for 10-20 s (observed on several
-keys, uncorrelated with the query, absent when the same query loops on
-an idle machine) — under such one-sided contamination the median of a
-small sample is itself polluted whenever two samples stall, while the
-min estimates the intrinsic plan cost (the same reasoning as Python's
-``timeit`` docs). Every raw sample plus the median is still printed to
-stderr, and the JSON carries ``queries_median`` alongside ``queries``
-so both aggregates stay comparable across rounds. The action is a
-count+checksum collect of the full result (no driver materialization
-of wide rows). Env knobs: SPARK_GRAFT_SF_DIR (default
+``value`` is the sum of per-query wall-clock seconds from the BEST
+CLEAN PASS; each per-query number is the MINIMUM of
+``SPARK_GRAFT_BENCH_REPS`` (default 3) runs within that pass, after a
+discarded warmup in pass 1. Round 4 moved the per-key aggregate from
+median to min: this box is multi-tenant, and repeated runs of an
+identical 0.5-second plan sporadically stall for 10-20 s (observed on
+several keys, uncorrelated with the query, absent when the same query
+loops on an idle machine) — under such one-sided contamination the
+median of a small sample is itself polluted whenever two samples
+stall, while the min estimates the intrinsic plan cost (the same
+reasoning as Python's ``timeit`` docs).
+
+Round 15 made the whole INVOCATION min-of-N (r14 verdict #1): a single
+pass over the key list is itself one draw from a 12.9-15.6 s spread on
+identical code (the r14 four-run record; one run was 29.8 s with an
+in-run calibration probe at 5.4x reference), so one invocation now
+runs ``SPARK_GRAFT_BENCH_PASSES`` (default 3) full passes, brackets
+EVERY pass with the fixed-work host probes, marks passes whose probes
+sit outside the envelope as contaminated, and publishes the best CLEAN
+pass as the headline — with the complete per-pass record (subtotal,
+per-key times, probe readings, clean flag) embedded under ``runs`` so
+round-over-round comparison never again reads a virtio draw as a code
+regression. At least one pass is always clean (the one with the lowest
+drag). ``queries``/``queries_median``/``calibration`` keep their r4+
+shapes (from the headline pass) for tools/bench_ab.py compatibility;
+per-key values remain min-of-reps-within-one-pass, so they stay
+comparable with BENCH_r04..r14.
+
+Every raw sample plus the median is still printed to stderr. The
+action is a count+checksum collect of the full result (no driver
+materialization of wide rows). Env knobs: SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1), SPARK_GRAFT_CPUS (default *),
-SPARK_GRAFT_BENCH_KEYS (csv subset), SPARK_GRAFT_BENCH_REPS (default 5).
+SPARK_GRAFT_BENCH_KEYS (csv subset), SPARK_GRAFT_BENCH_REPS (default
+3 per pass), SPARK_GRAFT_BENCH_PASSES (default 3).
 """
 
 from __future__ import annotations
@@ -109,6 +127,75 @@ def spark_probe(spark, reps: int = 3) -> float:
 
     run()  # codegen warmup, discarded
     return min(run() for _ in range(reps))
+
+
+PROBES = ("cpu", "mem", "spark")
+
+# A pass is "clean" when its drag sits within this factor of the best
+# pass's drag — wide enough that ordinary probe jitter (a few %) never
+# splits passes, narrow enough that the r14 bad-draw class (probe 5.4x
+# reference while clean runs sat at ~1.14x) is always excluded.
+PASS_DRAG_ENVELOPE = 1.25
+
+
+def pass_drag(pre: dict, post: dict) -> float | None:
+    """Drag for one pass bracketed by probe records ``pre``/``post``.
+
+    Per probe, compare min(pre, post) to the committed reference: the
+    post probe runs JVM-warm (comparable to the reference's recorded
+    minima — the spark probe's JIT tail spans ~10 executions, so a
+    fresh-session pre reading is legitimately slower), while SUSTAINED
+    host degradation — the r05/r07 class, which lasted hours —
+    inflates both sides. Transient mid-run noise is already absorbed
+    by each key's min-of-reps. Overall ratio = worst probe. ``None``
+    when no reference is committed."""
+    if not all(pre.get(f"{k}_ref_sec") for k in PROBES):
+        return None
+    return round(
+        max(
+            min(pre[f"{k}_sec"], post[f"{k}_sec"]) / pre[f"{k}_ref_sec"]
+            for k in PROBES
+        ),
+        3,
+    )
+
+
+def pick_best_clean(pass_recs: list[dict], cals: list[dict]) -> dict:
+    """Mark each pass record clean/contaminated in place and return
+    the headline pass: lowest subtotal among clean passes.
+
+    Clean = the pass's drag sits within PASS_DRAG_ENVELOPE of the best
+    pass's (absolute drag vs the committed reference when available;
+    otherwise drag RELATIVE to the invocation-wide best probe minima,
+    recorded as ``drag_ratio_rel``). The best-drag pass is clean by
+    construction, so a headline always exists; a pass like r14's
+    29.8 s draw (spark probe 5.4x reference) is recorded but never
+    published as the headline."""
+    drags = [r["drag_ratio"] for r in pass_recs]
+    if not all(d is not None for d in drags):
+        best_probe = {
+            k: min(
+                min(cals[i][f"{k}_sec"], cals[i + 1][f"{k}_sec"])
+                for i in range(len(pass_recs))
+            )
+            for k in PROBES
+        }
+        drags = [
+            max(
+                min(cals[i][f"{k}_sec"], cals[i + 1][f"{k}_sec"])
+                / best_probe[k]
+                for k in PROBES
+            )
+            for i in range(len(pass_recs))
+        ]
+        for r, d in zip(pass_recs, drags):
+            r["drag_ratio_rel"] = round(d, 3)
+    floor = min(drags)
+    for r, d in zip(pass_recs, drags):
+        r["clean"] = d <= floor * PASS_DRAG_ENVELOPE
+    return min(
+        (r for r in pass_recs if r["clean"]), key=lambda r: r["total"]
+    )
 
 
 def calibration_record(spark) -> dict:
@@ -257,7 +344,8 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
 
     keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS")
     wanted = keys_env.split(",") if keys_env else [*HEADLINE, PRUNE_KEY, BUCKET_KEY]
@@ -340,101 +428,116 @@ def main() -> int:
 
     import gc  # noqa: PLC0415
 
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
+    # cals[i] brackets pass i as its pre-probe and pass i-1 as its
+    # post-probe: probes between passes serve both neighbours, so N
+    # passes cost N+1 probe measurements, not 2N.
+    cals = [cal_pre]
+    pass_recs: list[dict] = []
     try:
-        for name in keys:
-            if name == BUCKET_KEY:
-                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-            samples = []
-            n = 0
+        for p in range(passes):
+            timings: dict[str, float] = {}
+            medians: dict[str, float] = {}
+            for name in keys:
+                if name == BUCKET_KEY:
+                    spark.conf.set(
+                        "spark.sql.autoBroadcastJoinThreshold", "-1"
+                    )
+                samples = []
+                n = 0
 
-            def run_once(name=name):
-                df = build(name)
-                # Action = JVM-side row count + xxhash64 checksum over
-                # every output column: forces full computation of the
-                # plan (a bare count() would let Catalyst prune computed
-                # columns away) while moving exactly one row to the
-                # driver (collect() of a wide result would time Python
-                # pickling, not the engine).
-                return df.select(
-                    _F.count(_F.lit(1)).alias("n"),
-                    _F.sum(
-                        _F.xxhash64(*[_F.col(c) for c in df.columns])
-                    ).alias("h"),
-                ).collect()[0]["n"]
+                def run_once(name=name):
+                    df = build(name)
+                    # Action = JVM-side row count + xxhash64 checksum
+                    # over every output column: forces full computation
+                    # of the plan (a bare count() would let Catalyst
+                    # prune computed columns away) while moving exactly
+                    # one row to the driver (collect() of a wide result
+                    # would time Python pickling, not the engine).
+                    return df.select(
+                        _F.count(_F.lit(1)).alias("n"),
+                        _F.sum(
+                            _F.xxhash64(*[_F.col(c) for c in df.columns])
+                        ).alias("h"),
+                    ).collect()[0]["n"]
 
-            # Per-query warmup rep, discarded: first execution pays
-            # codegen compile, checkpoint/cache materialization, and
-            # (on a shared box) cold page cache — one-time costs a
-            # long-lived cluster amortizes. r02 showed medians like
-            # [38.9/28.6/1.4] without it, useless as a round-over-round
-            # signal. The warmup count is printed so cold cost stays
-            # visible instead of hidden.
-            t0 = time.time()
-            run_once()
-            warm_sec = time.time() - t0
-            for _ in range(reps):
-                # Drop the previous rep's DataFrame references NOW so
-                # ContextCleaner reclaims any localCheckpoint blocks
-                # before (not during) the next timed run.
-                gc.collect()
-                t0 = time.time()
-                n = run_once()
-                samples.append(time.time() - t0)
-            if name == BUCKET_KEY:
-                spark.conf.set(
-                    "spark.sql.autoBroadcastJoinThreshold", prev_bcast
+                # Per-query warmup rep in pass 1 only, discarded: first
+                # execution pays codegen compile, checkpoint/cache
+                # materialization, and (on a shared box) cold page
+                # cache — one-time costs a long-lived cluster
+                # amortizes. r02 showed medians like [38.9/28.6/1.4]
+                # without it, useless as a round-over-round signal. The
+                # warmup cost is printed so cold cost stays visible
+                # instead of hidden; passes 2+ are warm by
+                # construction (every key already ran 1+reps times).
+                warm_sec = None
+                if p == 0:
+                    t0 = time.time()
+                    run_once()
+                    warm_sec = time.time() - t0
+                for _ in range(reps):
+                    # Drop the previous rep's DataFrame references NOW
+                    # so ContextCleaner reclaims any localCheckpoint
+                    # blocks before (not during) the next timed run.
+                    gc.collect()
+                    t0 = time.time()
+                    n = run_once()
+                    samples.append(time.time() - t0)
+                if name == BUCKET_KEY:
+                    spark.conf.set(
+                        "spark.sql.autoBroadcastJoinThreshold", prev_bcast
+                    )
+                timings[name] = round(min(samples), 3)
+                medians[name] = round(statistics.median(samples), 3)
+                detail = "/".join(f"{s:.2f}" for s in samples)
+                warm_note = (
+                    f", warmup {warm_sec:.2f}s" if warm_sec is not None else ""
                 )
-            timings[name] = round(min(samples), 3)
-            medians[name] = round(statistics.median(samples), 3)
-            detail = "/".join(f"{s:.2f}" for s in samples)
+                print(
+                    f"# [pass {p + 1}/{passes}] {name}: min {timings[name]}s"
+                    f" / median {medians[name]}s of [{detail}]"
+                    f" ({n} rows{warm_note})",
+                    file=sys.stderr,
+                )
+            cals.append(calibration_record(spark))
             print(
-                f"# {name}: min {timings[name]}s / median {medians[name]}s "
-                f"of [{detail}] (warmup {warm_sec:.2f}s, {n} rows)",
+                f"# calibration (after pass {p + 1}): {cals[-1]}",
                 file=sys.stderr,
             )
+            pass_recs.append({
+                "pass": p + 1,
+                "total": round(sum(timings.values()), 3),
+                "queries": timings,
+                "queries_median": medians,
+                "drag_ratio": pass_drag(cals[p], cals[p + 1]),
+            })
     finally:
         if scratch:
             shutil.rmtree(scratch, ignore_errors=True)
 
-    cal_post = calibration_record(spark)
-    print(f"# calibration (post): {cal_post}", file=sys.stderr)
-    probes = ("cpu", "mem", "spark")
-    calibration = {}
-    for k in probes:
-        calibration[f"{k}_sec_pre"] = cal_pre[f"{k}_sec"]
-        calibration[f"{k}_sec_post"] = cal_post[f"{k}_sec"]
-        calibration[f"{k}_ref_sec"] = cal_pre.get(f"{k}_ref_sec")
-    # Per probe, compare min(pre, post) to the reference: the post
-    # probe runs JVM-warm (comparable to the reference's recorded
-    # minima — the spark probe's JIT tail spans ~10 executions, so a
-    # fresh-session pre reading is legitimately slower), while
-    # SUSTAINED host degradation — the r05/r07 class, which lasted
-    # hours — inflates both sides. Transient mid-run noise is already
-    # absorbed by each key's min-of-reps. Overall ratio = worst probe.
-    calibration["drag_ratio"] = (
-        round(
-            max(
-                min(cal_pre[f"{k}_sec"], cal_post[f"{k}_sec"])
-                / cal_pre[f"{k}_ref_sec"]
-                for k in probes
-            ),
-            3,
-        )
-        if all(cal_pre.get(f"{k}_ref_sec") for k in probes)
-        else None
-    )
+    best = pick_best_clean(pass_recs, cals)
+    idx = best["pass"] - 1
+    cal_best_pre, cal_best_post = cals[idx], cals[idx + 1]
 
-    total = round(sum(timings.values()), 3)
+    calibration = {}
+    for k in PROBES:
+        calibration[f"{k}_sec_pre"] = cal_best_pre[f"{k}_sec"]
+        calibration[f"{k}_sec_post"] = cal_best_post[f"{k}_sec"]
+        calibration[f"{k}_ref_sec"] = cal_best_pre.get(f"{k}_ref_sec")
+    calibration["drag_ratio"] = best["drag_ratio"]
+
     print(json.dumps({
         "metric": "headline_queries_total_sec",
-        "value": total,
+        "value": best["total"],
         "unit": "sec",
-        "queries": timings,
-        "queries_median": medians,
+        "queries": best["queries"],
+        "queries_median": best["queries_median"],
         "sf": sf,
         "calibration": calibration,
+        "headline_policy": (
+            f"best clean pass of {passes} (per-key min of {reps} reps); "
+            f"pass {best['pass']} published"
+        ),
+        "runs": pass_recs,
     }))
     return 0
 

@@ -163,3 +163,87 @@ def test_pass_and_flag_verdicts(tmp_path, monkeypatch, capsys):
     assert bench_ab.main() == 1  # one FLAG => gate fails
     out = capsys.readouterr().out
     assert "PASS" in out and "FLAG" in out
+
+
+# ---------------------------------------------------------------------------
+# bench.py r15 multi-pass headline protocol (r14 verdict #1): passes
+# bracketed by probes, contaminated passes excluded, best clean pass
+# published. Pure-function tests over pick_best_clean / pass_drag.
+# ---------------------------------------------------------------------------
+
+
+def _cal(cpu=0.2, mem=0.05, spark=0.15, ref=True):
+    rec = {"cpu_sec": cpu, "mem_sec": mem, "spark_sec": spark}
+    if ref:
+        rec.update(cpu_ref_sec=0.2, mem_ref_sec=0.05, spark_ref_sec=0.15)
+    return rec
+
+
+def test_pass_drag_uses_min_of_pre_post_vs_ref():
+    import bench  # noqa: PLC0415
+
+    # post is JVM-warm and fast; min(pre, post) / ref per probe, worst
+    # probe wins: spark 0.30/0.15 = 2.0 despite a clean cpu reading.
+    pre = _cal(spark=0.45)
+    post = _cal(spark=0.30)
+    assert bench.pass_drag(pre, post) == 2.0
+    assert bench.pass_drag(_cal(ref=False), _cal(ref=False)) is None
+
+
+def test_pick_best_clean_excludes_contaminated_pass():
+    """The r14 bad-draw class: pass 2 is the fastest subtotal on paper
+    but its probes ran 5x reference — it must be flagged dirty and the
+    slower clean pass published."""
+    import bench  # noqa: PLC0415
+
+    # Sustained degradation (the r05/r07 class) inflates BOTH of a
+    # pass's bracketing probes; min(pre, post) per probe means a
+    # single slow boundary reading (shared with a neighbouring pass)
+    # never condemns a pass by itself. Here pass 2 sits entirely
+    # inside the slow window: both its brackets read spark 5x ref.
+    cals = [_cal(), _cal(spark=0.75), _cal(spark=0.80), _cal()]
+    recs = [
+        {"pass": 1, "total": 13.0, "drag_ratio": bench.pass_drag(cals[0], cals[1])},
+        {"pass": 2, "total": 11.0, "drag_ratio": bench.pass_drag(cals[1], cals[2])},
+        {"pass": 3, "total": 13.5, "drag_ratio": bench.pass_drag(cals[2], cals[3])},
+    ]
+    best = bench.pick_best_clean(recs, cals)
+    assert best["pass"] == 1
+    assert [r["clean"] for r in recs] == [True, False, True]
+
+
+def test_pick_best_clean_all_clean_picks_fastest():
+    import bench  # noqa: PLC0415
+
+    cals = [_cal(), _cal(), _cal()]
+    recs = [
+        {"pass": 1, "total": 13.0, "drag_ratio": bench.pass_drag(cals[0], cals[1])},
+        {"pass": 2, "total": 12.0, "drag_ratio": bench.pass_drag(cals[1], cals[2])},
+    ]
+    best = bench.pick_best_clean(recs, cals)
+    assert best["pass"] == 2 and all(r["clean"] for r in recs)
+
+
+def test_pick_best_clean_relative_fallback_without_reference():
+    """No committed calibration reference: cleanliness falls back to
+    drag relative to the invocation's own best probe minima, recorded
+    as drag_ratio_rel."""
+    import bench  # noqa: PLC0415
+
+    cals = [
+        _cal(ref=False),
+        _cal(ref=False, spark=0.60),
+        _cal(ref=False, spark=0.60),
+        _cal(ref=False),
+    ]
+    recs = [
+        {"pass": 1, "total": 13.0, "drag_ratio": None},
+        {"pass": 2, "total": 9.0, "drag_ratio": None},
+        {"pass": 3, "total": 13.5, "drag_ratio": None},
+    ]
+    best = bench.pick_best_clean(recs, cals)
+    # pass 2's bracket is (0.60, 0.60) -> rel drag 4.0; passes 1/3
+    # each have one clean bracket side -> rel drag 1.0.
+    assert best["pass"] == 1
+    assert recs[1]["drag_ratio_rel"] == 4.0
+    assert [r["clean"] for r in recs] == [True, False, True]

@@ -85,6 +85,10 @@ def main() -> int:
         os.environ,
         SPARK_GRAFT_BENCH_KEYS=",".join(keys),
         SPARK_GRAFT_BENCH_REPS=str(args.reps),
+        # One pass: this tool's contamination control is its own
+        # --reps + the drag gate below; bench.py's r15 multi-pass
+        # headline protocol would triple the A/B runtime for nothing.
+        SPARK_GRAFT_BENCH_PASSES="1",
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
