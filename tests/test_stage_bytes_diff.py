@@ -1,0 +1,80 @@
+"""tools/stage_bytes_diff.py verdict logic (r15): byte movement
+detection with relative tolerance, absolute floor, stage drift."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.stage_bytes_diff import compare  # noqa: E402
+
+
+def _cap(**keys):
+    return {"results": {
+        k: {
+            "inputBytes": v[0], "shuffleReadBytes": v[1],
+            "shuffleWriteBytes": v[2], "n_stages": v[3],
+        }
+        for k, v in keys.items()
+    }}
+
+
+def test_identical_captures_all_ok():
+    base = _cap(q_a=(10**9, 5 * 10**8, 5 * 10**8, 7))
+    fs = compare(base, base)
+    assert all(f["verdict"] == "OK" for f in fs)
+
+
+def test_compression_jitter_within_tol_is_ok():
+    base = _cap(q_a=(10**9, 5 * 10**8, 5 * 10**8, 7))
+    new = _cap(q_a=(int(1.03e9), int(5.2e8), int(4.9e8), 7))
+    assert all(f["verdict"] == "OK" for f in compare(base, new, tol=0.05))
+
+
+def test_widened_shuffle_is_moved():
+    """The regression class this tool exists for: a plan change that
+    doubles shuffle volume, invisible to timing under host noise."""
+    base = _cap(q_a=(10**9, 5 * 10**8, 5 * 10**8, 7))
+    new = _cap(q_a=(10**9, 10**9, 10**9, 7))
+    moved = [f for f in compare(base, new) if f["verdict"] == "MOVED"]
+    assert {f["metric"] for f in moved} == {
+        "shuffleReadBytes", "shuffleWriteBytes"
+    }
+
+
+def test_tiny_volume_noise_is_small_not_moved():
+    """3.7 KB of shuffle doubling to 7 KB is sub-block noise, not a
+    regression — the absolute floor keeps map-side keys quiet."""
+    base = _cap(q_map=(631_378, 3_700, 3_700, 3))
+    new = _cap(q_map=(650_000, 7_400, 7_400, 3))
+    fs = compare(base, new)
+    assert not [f for f in fs if f["verdict"] == "MOVED"]
+    assert [f for f in fs if f["verdict"] == "SMALL"]
+
+
+def test_extra_stage_is_moved_unless_drift_allowed():
+    base = _cap(q_a=(10**9, 5 * 10**8, 5 * 10**8, 7))
+    new = _cap(q_a=(10**9, 5 * 10**8, 5 * 10**8, 8))
+    moved = [f for f in compare(base, new) if f["verdict"] == "MOVED"]
+    assert [f["metric"] for f in moved] == ["n_stages"]
+    assert not [
+        f for f in compare(base, new, stage_drift=1)
+        if f["verdict"] == "MOVED"
+    ]
+
+
+def test_missing_key_flagged_both_directions():
+    base = _cap(q_a=(1, 1, 1, 1), q_b=(1, 1, 1, 1))
+    new = _cap(q_a=(1, 1, 1, 1), q_c=(1, 1, 1, 1))
+    missing = {
+        f["key"]: f["detail"]
+        for f in compare(base, new) if f["verdict"] == "MISSING"
+    }
+    assert missing == {"q_b": "new capture", "q_c": "baseline"}
+
+
+def test_zero_baseline_nonzero_new_is_infinite_ratio_moved():
+    base = _cap(q_a=(10**9, 0, 0, 3))
+    new = _cap(q_a=(10**9, 5 * 10**8, 5 * 10**8, 3))
+    moved = [f for f in compare(base, new) if f["verdict"] == "MOVED"]
+    assert len(moved) == 2 and moved[0]["ratio"] == float("inf")
