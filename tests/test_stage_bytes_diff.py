@@ -78,3 +78,48 @@ def test_zero_baseline_nonzero_new_is_infinite_ratio_moved():
     new = _cap(q_a=(10**9, 5 * 10**8, 5 * 10**8, 3))
     moved = [f for f in compare(base, new) if f["verdict"] == "MOVED"]
     assert len(moved) == 2 and moved[0]["ratio"] == float("inf")
+
+
+def test_expect_ratio_linearity_mode():
+    """Cross-SF mode: an sf100 capture against an sf10 baseline with
+    expect_ratio=10 — linear metrics OK, quadratic flagrantly MOVED,
+    and a metric that STOPPED scaling (1x on 10x data) also MOVED."""
+    base = _cap(q_lin=(10**9, 5 * 10**8, 5 * 10**8, 7),
+                q_quad=(10**9, 5 * 10**8, 5 * 10**8, 7),
+                q_stuck=(10**9, 5 * 10**8, 5 * 10**8, 7))
+    new = _cap(q_lin=(int(1.05e10), int(5.2e9), int(4.9e9), 7),
+               q_quad=(int(1e10), 5 * 10**10, 5 * 10**10, 7),
+               q_stuck=(int(1e10), 5 * 10**8, 5 * 10**8, 7))
+    fs = compare(base, new, tol=0.3, expect_ratio=10.0)
+    by = {(f["key"], f["metric"]): f["verdict"] for f in fs}
+    assert by[("q_lin", "inputBytes")] == "OK"
+    assert by[("q_lin", "shuffleReadBytes")] == "OK"
+    assert by[("q_quad", "shuffleReadBytes")] == "MOVED"
+    assert by[("q_stuck", "shuffleReadBytes")] == "MOVED"
+    assert by[("q_lin", "n_stages")] == "OK"   # stages stay constant
+
+
+def test_expect_ratio_zero_to_zero_is_ok():
+    base = _cap(q_map=(10**9, 0, 0, 3))
+    new = _cap(q_map=(10**10, 0, 0, 3))
+    fs = compare(base, new, tol=0.3, expect_ratio=10.0)
+    assert not [f for f in fs if f["verdict"] == "MOVED"]
+
+
+def test_expect_ratio_real_pagerank_pair():
+    """The committed r15 same-knob pagerank pair must read as linear
+    under the documented invocation (expect-ratio 10, tol 0.3)."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(
+        repo, "evidence", "stage_bytes_sf10_pagerank_diskpersist_r15.json"
+    )) as f:
+        base = json.load(f)
+    with open(os.path.join(
+        repo, "evidence", "stage_bytes_sf100_pagerank_r15.json"
+    )) as f:
+        new = json.load(f)
+    fs = compare(base, new, tol=0.3, expect_ratio=10.0)
+    moved = [f for f in fs if f["verdict"] in ("MOVED", "MISSING")]
+    assert not moved, moved

@@ -40,9 +40,18 @@ def compare(
     tol: float = 0.05,
     abs_floor: int = 1 << 20,
     stage_drift: int = 0,
+    expect_ratio: float = 1.0,
 ) -> list[dict]:
     """Return one finding per (key, metric) comparison. ``verdict`` is
-    OK / SMALL / MOVED / MISSING (key absent from one side)."""
+    OK / SMALL / MOVED / MISSING (key absent from one side).
+
+    ``expect_ratio`` turns the tool into a cross-SF linearity check:
+    with a baseline at sf10 and a capture at sf100, ``expect_ratio=10``
+    accepts byte metrics whose new/base ratio sits within ``tol`` of
+    10x (RELATIVE: |ratio/expect - 1| <= tol) and still expects stage
+    counts constant. A quadratic blow-up (100x on 10x data) is
+    flagrantly MOVED; sub-linear readings are flagged too (a metric
+    that stopped scaling usually means the key silently degenerated)."""
     findings: list[dict] = []
     b_res, n_res = base.get("results", base), new.get("results", new)
     for key in sorted(set(b_res) | set(n_res)):
@@ -57,11 +66,14 @@ def compare(
         b, n = b_res[key], n_res[key]
         for m in BYTE_METRICS:
             bv, nv = b.get(m, 0), n.get(m, 0)
-            delta = nv - bv
-            ratio = nv / bv if bv else (float("inf") if nv else 1.0)
-            if abs(ratio - 1.0) <= tol:
+            delta = nv - bv * expect_ratio
+            # 0 -> 0 is on-expectation at any ratio; 0 -> nonzero is inf
+            ratio = (
+                nv / bv if bv else (float("inf") if nv else expect_ratio)
+            )
+            if abs(ratio / expect_ratio - 1.0) <= tol:
                 verdict = "OK"
-            elif abs(delta) < abs_floor:
+            elif abs(delta) < abs_floor * max(expect_ratio, 1.0):
                 verdict = "SMALL"
             else:
                 verdict = "MOVED"
@@ -97,6 +109,12 @@ def main() -> int:
     ap.add_argument("--allow-stage-drift", type=int, default=0,
                     help="tolerated |n_stages| change per key (AQE "
                          "coalescing near a boundary)")
+    ap.add_argument("--expect-ratio", type=float, default=1.0,
+                    help="cross-SF linearity mode: expected new/base "
+                         "byte ratio (e.g. 10 for an sf100 capture "
+                         "against an sf10 baseline); pair with a "
+                         "looser --tol (0.3 is typical — re-read "
+                         "amplification under memory pressure is real)")
     args = ap.parse_args()
 
     with open(args.baseline) as f:
@@ -108,6 +126,7 @@ def main() -> int:
         base, new,
         tol=args.tol, abs_floor=args.abs_floor,
         stage_drift=args.allow_stage_drift,
+        expect_ratio=args.expect_ratio,
     )
     moved = [f for f in findings if f["verdict"] in ("MOVED", "MISSING")]
     for f in findings:
