@@ -23,14 +23,22 @@ in-run calibration probe at 5.4x reference), so one invocation now
 runs ``SPARK_GRAFT_BENCH_PASSES`` (default 3) full passes, brackets
 EVERY pass with the fixed-work host probes, marks passes whose probes
 sit outside the envelope as contaminated, and publishes the best CLEAN
-pass as the headline — with the complete per-pass record (subtotal,
-per-key times, probe readings, clean flag) embedded under ``runs`` so
-round-over-round comparison never again reads a virtio draw as a code
-regression. At least one pass is always clean (the one with the lowest
-drag). ``queries``/``queries_median``/``calibration`` keep their r4+
-shapes (from the headline pass) for tools/bench_ab.py compatibility;
-per-key values remain min-of-reps-within-one-pass, so they stay
-comparable with BENCH_r04..r14.
+pass as the headline. At least one pass is always clean (the one with
+the lowest drag). ``queries``/``queries_median``/``calibration`` keep
+their r4+ shapes (from the headline pass) for tools/bench_ab.py
+compatibility; per-key values remain min-of-reps-within-one-pass, so
+they stay comparable with BENCH_r04..r14.
+
+Round 16 fixed the emission contract (r15 verdict #1): the driver
+captures only a 2,000-char TAIL of stdout, and r15's embedding of the
+complete per-pass record under ``runs`` grew the final JSON line to
+~4.9 KB — BENCH_r15.json recorded ``parsed: null`` and the round had
+no official headline. The stdout line now carries a compact
+``runs_summary`` (per-pass total / drag / max-bracket drag / clean
+flag only) and is serialized through :func:`headline_line`, which
+enforces a 1,900-char budget with a deterministic degradation ladder;
+the full per-pass record (per-key times per pass plus every probe
+bracket) goes to stderr as a ``# runs_full:`` line instead.
 
 Every raw sample plus the median is still printed to stderr. The
 action is a count+checksum collect of the full result (no driver
@@ -137,6 +145,14 @@ PROBES = ("cpu", "mem", "spark")
 # reference while clean runs sat at ~1.14x) is always excluded.
 PASS_DRAG_ENVELOPE = 1.25
 
+# Separate, wider envelope for the subtotal cross-check: pass totals
+# carry real plan-execution variance that fixed-work probes don't
+# (13.2-15.4 s = 1.17x observed within ONE clean r15 invocation, and
+# pass-1 JIT warm-up can add ~1.3x at tiny SF), while the
+# contamination class being caught is ~2x (r14: 29.8 s vs ~13 s
+# clean). 1.5 splits those cleanly.
+PASS_TOTAL_ENVELOPE = 1.5
+
 
 def pass_drag(pre: dict, post: dict) -> float | None:
     """Drag for one pass bracketed by probe records ``pre``/``post``.
@@ -154,6 +170,26 @@ def pass_drag(pre: dict, post: dict) -> float | None:
     return round(
         max(
             min(pre[f"{k}_sec"], post[f"{k}_sec"]) / pre[f"{k}_ref_sec"]
+            for k in PROBES
+        ),
+        3,
+    )
+
+
+def pass_drag_max(pre: dict, post: dict) -> float | None:
+    """Pessimistic companion to :func:`pass_drag` for adjudication
+    (r15 ADVICE): per probe, compare max(pre, post) to the committed
+    reference. A pass contaminated mid-run whose drag clears before
+    the post-probe reads clean under min(pre, post); it shows here.
+    Not used for the clean/contaminated verdict (the pre side of a
+    fresh-JVM pass is legitimately slower, so max-based drag
+    over-condemns) — recorded alongside so a suspicious per-pass
+    record can be re-adjudicated round-over-round."""
+    if not all(pre.get(f"{k}_ref_sec") for k in PROBES):
+        return None
+    return round(
+        max(
+            max(pre[f"{k}_sec"], post[f"{k}_sec"]) / pre[f"{k}_ref_sec"]
             for k in PROBES
         ),
         3,
@@ -191,11 +227,57 @@ def pick_best_clean(pass_recs: list[dict], cals: list[dict]) -> dict:
         for r, d in zip(pass_recs, drags):
             r["drag_ratio_rel"] = round(d, 3)
     floor = min(drags)
+    # Anchor = the best-drag pass. Its subtotal cross-checks the drag
+    # verdict (r15 ADVICE): a pass contaminated mid-run whose probes
+    # cleared before the post-probe reads clean under min(pre, post),
+    # but its subtotal still carries the inflation — flag it when the
+    # total exceeds the anchor's by PASS_TOTAL_ENVELOPE. The anchor
+    # itself satisfies both conditions by construction, so a headline
+    # always exists; the cross-check can never steal the headline
+    # either (a pass with a lower total than the anchor's trivially
+    # passes it), only correct the published clean flags.
+    anchor = min(zip(pass_recs, drags), key=lambda t: t[1])[0]
     for r, d in zip(pass_recs, drags):
-        r["clean"] = d <= floor * PASS_DRAG_ENVELOPE
+        r["clean"] = (
+            d <= floor * PASS_DRAG_ENVELOPE
+            and r["total"] <= anchor["total"] * PASS_TOTAL_ENVELOPE
+        )
     return min(
         (r for r in pass_recs if r["clean"]), key=lambda r: r["total"]
     )
+
+
+# The driver records only a 2,000-char tail of stdout; the final JSON
+# line (plus its newline) must fit inside it or the round's official
+# headline is lost (BENCH_r15: parsed null). 1,900 leaves margin for
+# the newline and any trailing driver framing.
+STDOUT_LINE_BUDGET = 1_900
+
+
+def headline_line(record: dict) -> str:
+    """Serialize the driver-facing headline record to ONE stdout line,
+    enforcing STDOUT_LINE_BUDGET with a deterministic degradation
+    ladder: drop ``runs_summary`` first (recoverable from the stderr
+    ``# runs_full:`` record), then ``queries_median`` (recoverable the
+    same way); ``value``/``queries``/``sf``/``calibration`` are never
+    dropped. At the 23-key headline set the full record measures
+    ~1.7 KB, so the ladder is a guard against future field growth, not
+    an expected path — a dropped field is reported on stderr."""
+    rec = dict(record)
+    line = json.dumps(rec)
+    for field in ("runs_summary", "queries_median"):
+        if len(line) <= STDOUT_LINE_BUDGET:
+            break
+        if field in rec:
+            del rec[field]
+            print(
+                f"# headline_line: dropped '{field}' to fit the driver's"
+                f" stdout tail budget ({len(line)} chars > "
+                f"{STDOUT_LINE_BUDGET}); full record is on stderr",
+                file=sys.stderr,
+            )
+            line = json.dumps(rec)
+    return line
 
 
 def calibration_record(spark) -> dict:
@@ -509,6 +591,7 @@ def main() -> int:
                 "queries": timings,
                 "queries_median": medians,
                 "drag_ratio": pass_drag(cals[p], cals[p + 1]),
+                "drag_ratio_max": pass_drag_max(cals[p], cals[p + 1]),
             })
     finally:
         if scratch:
@@ -525,7 +608,29 @@ def main() -> int:
         calibration[f"{k}_ref_sec"] = cal_best_pre.get(f"{k}_ref_sec")
     calibration["drag_ratio"] = best["drag_ratio"]
 
-    print(json.dumps({
+    # Full per-pass record (per-key times and medians of every pass,
+    # every probe bracket) — too big for the driver's stdout tail, so
+    # it lives on stderr for round-over-round adjudication.
+    print(
+        "# runs_full: "
+        + json.dumps({"runs": pass_recs, "calibrations": cals}),
+        file=sys.stderr,
+    )
+    runs_summary = [
+        {
+            "pass": r["pass"],
+            "total": r["total"],
+            "drag": (
+                r["drag_ratio"]
+                if r["drag_ratio"] is not None
+                else r.get("drag_ratio_rel")
+            ),
+            "drag_max": r.get("drag_ratio_max"),
+            "clean": r["clean"],
+        }
+        for r in pass_recs
+    ]
+    print(headline_line({
         "metric": "headline_queries_total_sec",
         "value": best["total"],
         "unit": "sec",
@@ -537,7 +642,7 @@ def main() -> int:
             f"best clean pass of {passes} (per-key min of {reps} reps); "
             f"pass {best['pass']} published"
         ),
-        "runs": pass_recs,
+        "runs_summary": runs_summary,
     }))
     return 0
 

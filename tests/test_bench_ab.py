@@ -224,6 +224,53 @@ def test_pick_best_clean_all_clean_picks_fastest():
     assert best["pass"] == 2 and all(r["clean"] for r in recs)
 
 
+def test_pass_drag_max_is_pessimistic_companion():
+    """drag_ratio_max uses max(pre, post) per probe — the adjudication
+    channel that still shows a mid-run contamination whose drag cleared
+    before the post-probe (r15 ADVICE)."""
+    import bench  # noqa: PLC0415
+
+    pre = _cal(spark=0.45)
+    post = _cal(spark=0.30)
+    assert bench.pass_drag_max(pre, post) == 3.0  # 0.45 / 0.15
+    assert bench.pass_drag_max(_cal(ref=False), _cal(ref=False)) is None
+
+
+def test_pick_best_clean_subtotal_crosscheck():
+    """A pass whose bracket probes read clean (contamination started
+    and cleared between them) but whose subtotal is ~2x the best-drag
+    pass's must NOT be published as clean (r15 ADVICE): min(pre, post)
+    drag alone would label it clean for round-over-round adjudication."""
+    import bench  # noqa: PLC0415
+
+    cals = [_cal(), _cal(), _cal(), _cal()]
+    recs = [
+        {"pass": 1, "total": 12.0, "drag_ratio": bench.pass_drag(cals[0], cals[1])},
+        {"pass": 2, "total": 25.0, "drag_ratio": bench.pass_drag(cals[1], cals[2])},
+        {"pass": 3, "total": 13.0, "drag_ratio": bench.pass_drag(cals[2], cals[3])},
+    ]
+    best = bench.pick_best_clean(recs, cals)
+    assert best["pass"] == 1
+    assert [r["clean"] for r in recs] == [True, False, True]
+
+
+def test_subtotal_crosscheck_tolerates_ordinary_pass_variance():
+    """PASS_TOTAL_ENVELOPE must be wider than the drag envelope:
+    within one clean r15 invocation pass totals spread 1.17x, and a
+    pass-1 JIT warm-up can add ~1.3x at tiny SF — ordinary variance
+    like that must NOT be flagged (only the ~2x contamination class)."""
+    import bench  # noqa: PLC0415
+
+    cals = [_cal(), _cal(), _cal()]
+    recs = [
+        {"pass": 1, "total": 15.6, "drag_ratio": bench.pass_drag(cals[0], cals[1])},
+        {"pass": 2, "total": 12.0, "drag_ratio": bench.pass_drag(cals[1], cals[2])},
+    ]
+    best = bench.pick_best_clean(recs, cals)
+    assert best["pass"] == 2
+    assert [r["clean"] for r in recs] == [True, True]
+
+
 def test_pick_best_clean_relative_fallback_without_reference():
     """No committed calibration reference: cleanliness falls back to
     drag relative to the invocation's own best probe minima, recorded
@@ -247,3 +294,110 @@ def test_pick_best_clean_relative_fallback_without_reference():
     assert best["pass"] == 1
     assert recs[1]["drag_ratio_rel"] == 4.0
     assert [r["clean"] for r in recs] == [True, False, True]
+
+
+# ---------------------------------------------------------------------------
+# bench.py r16 stdout emission contract (r15 verdict #1): the driver
+# captures only a 2,000-char tail of stdout; BENCH_r15.json recorded
+# parsed:null because the final JSON line grew to ~4.9 KB with the
+# embedded per-pass record. These tests round-trip the real record
+# shape through a simulated driver tail capture so the channel cannot
+# silently break again.
+# ---------------------------------------------------------------------------
+
+DRIVER_TAIL_CHARS = 2_000
+
+
+def _driver_tail_parse(stdout: str) -> dict:
+    """Simulate the driver: keep the last 2,000 chars of stdout, take
+    the last non-empty line, parse it as JSON."""
+    tail = stdout[-DRIVER_TAIL_CHARS:]
+    line = [ln for ln in tail.splitlines() if ln.strip()][-1]
+    return json.loads(line)
+
+
+def _realistic_headline_record() -> dict:
+    """The exact record shape main() emits, at the real 23-key headline
+    set, with pessimistic value widths (two integer digits + three
+    decimals everywhere, worst-case drag/probe widths)."""
+    import bench  # noqa: PLC0415
+
+    keys = [*bench.HEADLINE, bench.PRUNE_KEY, bench.BUCKET_KEY]
+    queries = {k: 12.345 for k in keys}
+    medians = {k: 14.999 for k in keys}
+    calibration = {}
+    for k in bench.PROBES:
+        calibration[f"{k}_sec_pre"] = 0.1234
+        calibration[f"{k}_sec_post"] = 0.1234
+        calibration[f"{k}_ref_sec"] = 0.1234
+    calibration["drag_ratio"] = 1.135
+    runs_summary = [
+        {
+            "pass": p,
+            "total": 15.456,
+            "drag": 1.135,
+            "drag_max": 11.234,
+            "clean": False,
+        }
+        for p in (1, 2, 3)
+    ]
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": 12.345,
+        "unit": "sec",
+        "queries": queries,
+        "queries_median": medians,
+        "sf": 0.1,
+        "calibration": calibration,
+        "headline_policy": (
+            "best clean pass of 3 (per-key min of 3 reps); pass 3 published"
+        ),
+        "runs_summary": runs_summary,
+    }
+
+
+def test_headline_line_fits_driver_tail_with_all_fields():
+    """The full 23-key record must fit the budget WITHOUT invoking the
+    degradation ladder — runs_summary and queries_median present."""
+    import bench  # noqa: PLC0415
+
+    line = bench.headline_line(_realistic_headline_record())
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    rec = json.loads(line)
+    assert "runs_summary" in rec and "queries_median" in rec
+
+    # Round-trip through the simulated driver capture with 10 KB of
+    # preceding stdout noise (the r15 failure mode: a final line that
+    # starts before the tail window opens).
+    stdout = ("spark noise line\n" * 600) + line + "\n"
+    parsed = _driver_tail_parse(stdout)
+    assert parsed["value"] == 12.345
+    assert len(parsed["queries"]) == 23
+    assert parsed["calibration"]["drag_ratio"] == 1.135
+
+
+def test_headline_line_degradation_ladder(capsys):
+    """Forced over budget (a future 200-key headline set), the ladder
+    drops runs_summary first, then queries_median — never value /
+    queries / sf / calibration — and says so on stderr."""
+    import bench  # noqa: PLC0415
+
+    rec = _realistic_headline_record()
+    rec["queries"] = {f"q_padded_key_name_{i:03d}": 12.345 for i in range(40)}
+    rec["queries_median"] = {k: 14.999 for k in rec["queries"]}
+    line = bench.headline_line(rec)
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    out = json.loads(line)
+    assert "runs_summary" not in out and "queries_median" not in out
+    for field in ("value", "queries", "sf", "calibration"):
+        assert field in out
+    assert "dropped" in capsys.readouterr().err
+
+
+def test_headline_line_emits_single_line():
+    """The driver parses ONE line: the serialization must contain no
+    newlines regardless of content."""
+    import bench  # noqa: PLC0415
+
+    line = bench.headline_line(_realistic_headline_record())
+    assert "\n" not in line

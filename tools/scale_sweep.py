@@ -105,7 +105,19 @@ def main() -> int:
     for name in keys:
         if name in CAPPED_VARIANTS:
             label, prepare = CAPPED_VARIANTS[name]
-            fn = prepare(spark, args.sf)  # untimed: budget scans etc.
+            # untimed: budget scans etc. — but still a real Spark
+            # action, so a failure here must be recorded per-key and
+            # the sweep must continue (r15 ADVICE), exactly like a
+            # failure in the timed region below.
+            try:
+                fn = prepare(spark, args.sf)
+            except Exception as e:  # noqa: BLE001
+                results.append(
+                    (label, None, f"prepare: {type(e).__name__}: {e}"[:120])
+                )
+                r = results[-1]
+                print(f"{r[0]:28s} {'-':>8} {r[2][:80]}", flush=True)
+                continue
         else:
             label, fn = name, plans.QUERIES[name]
         t0 = time.time()
