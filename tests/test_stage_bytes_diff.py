@@ -123,3 +123,36 @@ def test_expect_ratio_real_pagerank_pair():
     fs = compare(base, new, tol=0.3, expect_ratio=10.0)
     moved = [f for f in fs if f["verdict"] in ("MOVED", "MISSING")]
     assert not moved, moved
+
+
+def _load_pair(base_name: str, new_name: str, key: str):
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = []
+    for name in (base_name, new_name):
+        with open(os.path.join(repo, "evidence", name)) as f:
+            cap = json.load(f)
+        out.append({"results": {key: cap["results"][key]}})
+    return out
+
+
+def test_expect_ratio_real_llm_pairs():
+    """The committed r16 same-knob sf10/sf100 pairs for the LLM
+    headliners must read linear-or-better under the documented
+    invocation. q_corpus_clean measured 10.2-10.6x on every byte
+    metric (strict tol). q_dedup_minhash measured SUBLINEAR shuffle
+    (7.12x write: the exact-collapse prepass + band-key aggregation
+    collapse the replica-scaled duplicates map-side) — tol 0.35 admits
+    the measured sublinearity while a superlinear blow-up (>13.5x on
+    10x data) still flags. Both keys re-planned one stage away under
+    AQE at sf100 (41->40, 10->9): stage_drift=1."""
+    for key, tol in (("q_corpus_clean", 0.3), ("q_dedup_minhash", 0.35)):
+        base, new = _load_pair(
+            "stage_bytes_sf10_llm_r16.json",
+            "stage_bytes_sf100_llm_r16.json",
+            key,
+        )
+        fs = compare(base, new, tol=tol, expect_ratio=10.0, stage_drift=1)
+        moved = [f for f in fs if f["verdict"] in ("MOVED", "MISSING")]
+        assert not moved, (key, moved)
