@@ -17,8 +17,12 @@ This tool rewrites a base fixture into that hostile layout,
 deterministically (seeded hash, no RNG state):
 
 - each table becomes a DIRECTORY of ``--files`` part files (dims
-  included — region's 5 rows across 7 files leaves empty part files,
-  itself an edge case both engines must scan);
+  included — region's 5 rows hash across 7 partitions, so some
+  partitions are empty), PLUS one genuine ZERO-ROW part file per
+  table (Spark skips materializing empty partitions on write, so the
+  empty-file edge — a thing real lakehouse directories accumulate
+  from aborted or rows-filtered writer tasks — has to be planted
+  explicitly; both engines must scan past it);
 - rows are assigned to files by a seeded xxhash64 over every column,
   and ordered within each file by a second seeded hash — so the
   insertion order visible to scans is fully scrambled but byte-
@@ -48,6 +52,23 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+
+def _plant_empty_part(t_dir: str) -> None:
+    """Write one zero-row part file with the table's exact schema.
+    Spark never materializes empty partitions on write, so this edge
+    (real directories accumulate empty files from aborted/filtered
+    writer tasks) must be planted by hand."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    parts = sorted(
+        f for f in os.listdir(t_dir) if f.endswith(".parquet")
+    )
+    schema = pq.read_schema(os.path.join(t_dir, parts[0]))
+    pq.write_table(
+        schema.empty_table(),
+        os.path.join(t_dir, "part-empty-planted.parquet"),
+    )
 
 
 def main() -> int:
@@ -80,14 +101,14 @@ def main() -> int:
             df.repartition(args.files, F.xxhash64(*cols, F.lit(args.seed)))
             .sortWithinPartitions(F.xxhash64(*cols, F.lit(args.seed + 1)))
         )
-        scrambled.write.mode("overwrite").parquet(
-            os.path.join(out, f"{name}.parquet")
-        )
+        t_dir = os.path.join(out, f"{name}.parquet")
+        scrambled.write.mode("overwrite").parquet(t_dir)
+        _plant_empty_part(t_dir)
         n_parts = len([
-            f for f in os.listdir(os.path.join(out, f"{name}.parquet"))
-            if f.endswith(".parquet")
+            f for f in os.listdir(t_dir) if f.endswith(".parquet")
         ])
-        print(f"{name}: {df.count()} rows -> {n_parts} part files")
+        print(f"{name}: {df.count()} rows -> {n_parts} part files "
+              f"(incl. 1 zero-row)")
     print(f"layout fixture (seed {args.seed}, {args.files} files/table) "
           f"at {out}")
     return 0
