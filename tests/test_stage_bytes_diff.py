@@ -156,3 +156,22 @@ def test_expect_ratio_real_llm_pairs():
         fs = compare(base, new, tol=tol, expect_ratio=10.0, stage_drift=1)
         moved = [f for f in fs if f["verdict"] in ("MOVED", "MISSING")]
         assert not moved, (key, moved)
+
+
+def test_expect_ratio_real_relops_pairs():
+    """The committed r16 sf10/sf100 pairs for four shuffle-heavy
+    relational keys — q_table_diff (this round's regrade key),
+    q_win_frame, q_sessionize, q_intervals_merge — measured EXACTLY
+    10.00x on every byte metric at constant stage counts, so they pin
+    at the strict default tolerance with zero stage drift."""
+    for key in (
+        "q_table_diff", "q_win_frame", "q_sessionize", "q_intervals_merge",
+    ):
+        base, new = _load_pair(
+            "stage_bytes_sf10_relops_r16.json",
+            "stage_bytes_sf100_relops_r16.json",
+            key,
+        )
+        fs = compare(base, new, tol=0.05, expect_ratio=10.0)
+        moved = [f for f in fs if f["verdict"] in ("MOVED", "MISSING")]
+        assert not moved, (key, moved)
