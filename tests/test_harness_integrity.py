@@ -139,5 +139,16 @@ def test_bench_subprocess_stdout_survives_driver_tail():
     assert rec["queries"].keys() == {"q_count_gate"}
     assert rec["runs_summary"][0]["clean"] is True
     assert len(line) <= bench.STDOUT_LINE_BUDGET
-    assert "# runs_full:" in proc.stderr
     assert "# runs_full:" not in proc.stdout
+    full_line = [
+        ln for ln in proc.stderr.splitlines()
+        if ln.startswith("# runs_full: ")
+    ]
+    assert len(full_line) == 1
+    full = json.loads(full_line[0][len("# runs_full: "):])
+    # The adjudication record: every pass's per-key timings plus every
+    # probe bracket (N passes -> N+1 calibrations).
+    assert len(full["runs"]) == 1
+    assert full["runs"][0]["queries"].keys() == {"q_count_gate"}
+    assert len(full["calibrations"]) == 2
+    assert full["runs"][0]["total"] == rec["value"]
