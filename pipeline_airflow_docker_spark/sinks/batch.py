@@ -36,6 +36,11 @@ from pyspark.sql import functions as F
 #   multi-KB values.
 # - Embedded newlines are quoted on write and need multiLine=True on
 #   read (see CSV_LOSSLESS_READ for the splittability trade).
+# - lineSep='\n' pins the record separator on BOTH halves: the write
+#   default is already '\n', but the READ half must not auto-detect —
+#   auto-detection swallowed a NUL immediately after a quoted '\n'
+#   ('\n\x00' -> '\n', r16 Hypothesis find). Explicit on both sides so
+#   the wire format is pinned, not platform-defaulted.
 #
 # CSV stays a TEXTUAL hand-off, but the dialect's numeric/temporal
 # fidelity is probed, not assumed (round 11, pinned in
@@ -53,6 +58,7 @@ CSV_LOSSLESS_WRITE: dict[str, str | bool] = {
     "ignoreTrailingWhiteSpace": False,
     "escape": '"',
     "nullValue": "\\N",
+    "lineSep": "\n",
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
 }
 

@@ -68,12 +68,18 @@ def fetch_url_to_staging(
 # split unit (a multiLine file can't be chunked mid-file), so writers
 # targeting this dialect should emit many files (one per partition,
 # which write_csv already does). emptyValue/nullValue keep '' and NULL
-# distinct (the default dialect collapses both to NULL).
+# distinct (the default dialect collapses both to NULL). lineSep is
+# load-bearing too: without it the multiLine parser auto-detects the
+# record separator and SWALLOWS a NUL byte that immediately follows a
+# quoted embedded '\n' ('\n\x00' read back as '\n' — found by the r16
+# Hypothesis sweep); pinning '\n' restores exact fidelity for control
+# bytes adjacent to separators. The writer half pins the same lineSep.
 CSV_LOSSLESS_READ: dict[str, str | bool] = {
     "multiLine": True,
     "escape": '"',
     "nullValue": "\\N",
     "emptyValue": "",
+    "lineSep": "\n",
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
 }
 

@@ -69,6 +69,18 @@ ROUND_TRIP_CORPUS = [
     "astral\U0001f30f!",
     "​zero-width",
     " line-sep",
+    # Control bytes ADJACENT to record separators (r16 judge find):
+    # before lineSep was pinned, the multiLine reader's separator
+    # auto-detection swallowed the NUL after a quoted '\n'.
+    "\n\x00",
+    "\n\x00b",
+    "x\n\x00",
+    "\r\x00",
+    "\n\r",
+    "x\r\n\x00",
+    "\x00\n",
+    "\x00",
+    "\x00\x00",
 ]
 
 

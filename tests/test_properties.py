@@ -20,7 +20,7 @@ from __future__ import annotations
 import pytest
 
 try:
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 except ImportError:  # pragma: no cover
     pytest.skip("hypothesis not installed", allow_module_level=True)
@@ -941,6 +941,14 @@ TEXTS = st.lists(
 
 @SLOW
 @given(texts=TEXTS)
+# Pinned falsifying + adjacent control-byte examples (r16 judge find):
+# lineSep auto-detection in the multiLine reader used to swallow the
+# NUL after a quoted '\n' ('\n\x00' -> '\n'). .hypothesis/ is
+# gitignored, so the regression examples must live HERE, not in the
+# local example database.
+@example(texts=["\n\x00"])
+@example(texts=["\n\x00b", "x\n\x00", "\r\x00", "\r\n", "\r", "\n\r", "\x00"])
+@example(texts=["a\x00b", "\x00\x00", "\n", "\r\x00b", "x\r\n\x00", None, ""])
 def test_lossless_csv_round_trip_law(spark, tmp_path_factory, texts):
     from pipeline_airflow_docker_spark.sinks.batch import write_csv  # noqa: PLC0415
     from pipeline_airflow_docker_spark.sources.batch import read_csv  # noqa: PLC0415
@@ -962,6 +970,11 @@ def test_lossless_csv_round_trip_law(spark, tmp_path_factory, texts):
 
 @SLOW
 @given(texts=TEXTS)
+# Same control-byte class pinned on the JSONL law (the JSON writer
+# escapes '\n' and NUL inside strings, so raw separator-adjacent bytes
+# never hit the wire — but the law must keep proving that).
+@example(texts=["\n\x00"])
+@example(texts=["\n\x00b", "x\n\x00", "\r\x00", "\r\n", "\r", "\n\r", "\x00"])
 def test_jsonl_round_trip_law(spark, tmp_path_factory, texts):
     from pipeline_airflow_docker_spark.sinks.batch import (  # noqa: PLC0415
         write_json_records,
