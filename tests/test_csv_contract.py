@@ -34,9 +34,11 @@ from pipeline_airflow_docker_spark.sources.batch import read_csv
 
 # The probe corpus behind CSV_LOSSLESS_WRITE's docstring: every class
 # where the univocity writer/parser classically loses data. NUL bytes
-# and astral code points are included HERE (Spark round-trips them)
-# but stay out of the graded parquet fixtures — DuckDB VARCHARs reject
-# NUL, so no oracle can grade them.
+# and astral code points are included HERE (Spark round-trips them).
+# (The round-11 note that DuckDB VARCHARs reject NUL no longer holds:
+# the r17 probe showed this DuckDB builds/reads/hashes NUL-bearing
+# VARCHARs byte-exactly, so the fuzz fixtures now carry the class too
+# — tools/gen_fuzz_data.py CTRL block.)
 ROUND_TRIP_CORPUS = [
     "plain",
     "comma, inside",
