@@ -227,16 +227,25 @@ def pick_best_clean(pass_recs: list[dict], cals: list[dict]) -> dict:
         for r, d in zip(pass_recs, drags):
             r["drag_ratio_rel"] = round(d, 3)
     floor = min(drags)
-    # Anchor = the best-drag pass. Its subtotal cross-checks the drag
-    # verdict (r15 ADVICE): a pass contaminated mid-run whose probes
-    # cleared before the post-probe reads clean under min(pre, post),
-    # but its subtotal still carries the inflation — flag it when the
-    # total exceeds the anchor's by PASS_TOTAL_ENVELOPE. The anchor
-    # itself satisfies both conditions by construction, so a headline
-    # always exists; the cross-check can never steal the headline
-    # either (a pass with a lower total than the anchor's trivially
-    # passes it), only correct the published clean flags.
-    anchor = min(zip(pass_recs, drags), key=lambda t: t[1])[0]
+    # Anchor = the lowest-TOTAL pass among drag-clean passes. Its
+    # subtotal cross-checks the drag verdict (r15 ADVICE): a pass
+    # contaminated mid-run whose probes cleared before the post-probe
+    # reads clean under min(pre, post), but its subtotal still carries
+    # the inflation — flag it when the total exceeds the anchor's by
+    # PASS_TOTAL_ENVELOPE. Anchoring on min-DRAG alone (r16 ADVICE)
+    # under-flagged: when drags tie — the common all-clean case —
+    # min() picked pass 1, whose total carries the ~1.3x JIT warm-up
+    # at tiny SF, inflating the 1.5x envelope's base. The anchor is
+    # drag-clean with the lowest clean total, so it satisfies both
+    # conditions by construction and a headline always exists; the
+    # cross-check can never steal the headline either (a pass with a
+    # lower total than the anchor's cannot be drag-clean-and-cheaper
+    # than the anchor, which is minimal), only correct the published
+    # clean flags.
+    drag_clean = [
+        r for r, d in zip(pass_recs, drags) if d <= floor * PASS_DRAG_ENVELOPE
+    ]
+    anchor = min(drag_clean, key=lambda r: r["total"])
     for r, d in zip(pass_recs, drags):
         r["clean"] = (
             d <= floor * PASS_DRAG_ENVELOPE
@@ -277,6 +286,25 @@ def headline_line(record: dict) -> str:
                 file=sys.stderr,
             )
             line = json.dumps(rec)
+    if len(line) > STDOUT_LINE_BUDGET:
+        # Terminal rung (r16 ADVICE): the ladder is out of droppable
+        # fields — e.g. a future larger headline set inflating the
+        # never-dropped 'queries' dict. Emit a minimal always-parseable
+        # record rather than silently recreating the r15 parsed:null
+        # driver failure; the full record is on stderr regardless.
+        minimal = {
+            k: rec[k]
+            for k in ("metric", "value", "unit", "sf", "calibration")
+            if k in rec
+        }
+        print(
+            f"# headline_line: record still {len(line)} chars > "
+            f"{STDOUT_LINE_BUDGET} after the ladder; emitting minimal "
+            "record (metric/value/unit/sf/calibration) — per-query "
+            "times are on stderr in '# runs_full:'",
+            file=sys.stderr,
+        )
+        line = json.dumps(minimal)
     return line
 
 

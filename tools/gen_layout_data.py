@@ -54,17 +54,38 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def _plant_empty_part(t_dir: str) -> None:
+def _plant_empty_part(t_dir: str, src_path: str | None = None) -> None:
     """Write one zero-row part file with the table's exact schema.
     Spark never materializes empty partitions on write, so this edge
     (real directories accumulate empty files from aborted/filtered
-    writer tasks) must be planted by hand."""
+    writer tasks) must be planted by hand.
+
+    A zero-row BASE table (e.g. scrambling the 'empty' fixture) may
+    produce no data part files at all; fall back to the source
+    table's schema then (r16 ADVICE — indexing parts[0] crashed)."""
     import pyarrow.parquet as pq  # noqa: PLC0415
 
     parts = sorted(
         f for f in os.listdir(t_dir) if f.endswith(".parquet")
     )
-    schema = pq.read_schema(os.path.join(t_dir, parts[0]))
+    if parts:
+        schema = pq.read_schema(os.path.join(t_dir, parts[0]))
+    else:
+        if src_path is None:
+            print(f"  (no part files in {t_dir} and no source path — "
+                  "skipping empty-part plant)")
+            return
+        src = src_path
+        if os.path.isdir(src):
+            inner = sorted(
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            )
+            if not inner:
+                print(f"  (no parquet files under {src} — skipping "
+                      "empty-part plant)")
+                return
+            src = os.path.join(src, inner[0])
+        schema = pq.read_schema(src)
     pq.write_table(
         schema.empty_table(),
         os.path.join(t_dir, "part-empty-planted.parquet"),
@@ -103,7 +124,7 @@ def main() -> int:
         )
         t_dir = os.path.join(out, f"{name}.parquet")
         scrambled.write.mode("overwrite").parquet(t_dir)
-        _plant_empty_part(t_dir)
+        _plant_empty_part(t_dir, os.path.join(args.base, f"{name}.parquet"))
         n_parts = len([
             f for f in os.listdir(t_dir) if f.endswith(".parquet")
         ])
