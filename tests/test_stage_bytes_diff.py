@@ -158,6 +158,33 @@ def test_expect_ratio_real_llm_pairs():
         assert not moved, (key, moved)
 
 
+def test_expect_ratio_real_ann_pairs():
+    """The committed r17 same-knob sf10/sf100 pairs close the LAST
+    inferred-only family: ANN (C3). All three keys measured input
+    bytes EXACTLY 10x on 10x data (9.98-9.99x) at CONSTANT stage
+    counts (q_knn_lsh 5, q_knn_ivf_trained 23, q_kmeans 18), with
+    SUBLINEAR shuffle (4.86-5.04x): the broadcast quantizer/anchor
+    set keeps cell assignment map-side, and partial aggregation
+    collapses the replica-scaled duplicates before the exchange —
+    shuffle volume grows HALF as fast as data. Pinned asymmetric:
+    input is strict-linear; shuffle must stay in [4x, 11x] — under 4x
+    would mean the capture changed regime, over 11x is the superlinear
+    blow-up this gate exists to catch."""
+    for key in ("q_knn_lsh", "q_knn_ivf_trained", "q_kmeans"):
+        base, new = _load_pair(
+            "stage_bytes_sf10_ann_r17.json",
+            "stage_bytes_sf100_ann_r17.json",
+            key,
+        )
+        b, n = base["results"][key], new["results"][key]
+        assert b["n_stages"] == n["n_stages"], key
+        in_ratio = n["inputBytes"] / b["inputBytes"]
+        assert 9.5 <= in_ratio <= 10.5, (key, in_ratio)
+        for m in ("shuffleReadBytes", "shuffleWriteBytes"):
+            r = n[m] / b[m]
+            assert 4.0 <= r <= 11.0, (key, m, r)
+
+
 def test_expect_ratio_real_relops_pairs():
     """The committed r16 sf10/sf100 pairs for four shuffle-heavy
     relational keys — q_table_diff (this round's regrade key),
