@@ -80,6 +80,34 @@ _DEPS: "weakref.WeakKeyDictionary[DataFrame, list[DataFrame]]" = (
 )
 
 
+def scratch_mkdtemp(prefix: str) -> str:
+    """mkdtemp on the FASTEST available local scratch, for throwaway
+    harness artifacts (streaming checkpoints, staged stream topics,
+    round-trip staging, scratch parquet).
+
+    r17 optimization: the default tempdir (/tmp) sits on this box's
+    shared virtio disk, whose multi-second latency bursts land
+    squarely on checkpoint commits and staging writes — the same wall
+    session.py already moves spark.local.dir off of. Preference
+    order: $SPARK_GRAFT_SCRATCH (explicit override) > /dev/shm (tmpfs;
+    present on any Linux, 126 GB here — harness artifacts are ≲2 GB at
+    sf10) > system default. Local-mode harness scratch ONLY: a
+    production deployment puts streaming checkpoints on durable shared
+    storage (see streaming/runner.py), which this helper is not for.
+    Measured: q_stream_bounded 1.13 s → 1.02 s at sf0.1, and it
+    removes the sporadic 10-20 s /tmp-stall class from every
+    streaming/IO key's tail."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        os.makedirs(env, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=env)
+    if os.path.isdir("/dev/shm"):
+        root = "/dev/shm/spark_graft_tmp"
+        os.makedirs(root, exist_ok=True)
+        return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def _scratch_dir() -> str:
     global _SCRATCH_ROOT, _ROOT_IS_OURS  # noqa: PLW0603
     if _SCRATCH_ROOT is None:
@@ -87,7 +115,7 @@ def _scratch_dir() -> str:
         if env:
             _SCRATCH_ROOT = env
         else:
-            _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_scratch_")
+            _SCRATCH_ROOT = scratch_mkdtemp("spark_graft_scratch_")
             _ROOT_IS_OURS = True
     return _SCRATCH_ROOT
 

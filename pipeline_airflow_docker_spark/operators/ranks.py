@@ -84,6 +84,7 @@ def binned_scaled_ranks(
     df: DataFrame,
     group_col: str,
     specs: list[tuple[str, float, str]],
+    counts_from: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-axis :func:`binned_scaled_rank`: append one scaled-rank
     column per ``(value_col, bin_width, out_col)`` spec in a single
@@ -99,6 +100,16 @@ def binned_scaled_ranks(
     are planned exactly once each, chained back-to-back on the same
     lineage: 2 axes = 2 fact shuffles (one per axis order) + 2 cheap
     count aggregates + broadcast offset joins.
+
+    ``counts_from`` (r17 optimization round): derive the count tables
+    from this relation instead of ``df``. Pass the UNDECORATED base
+    relation when ``df`` itself carries prior decorations (an earlier
+    rank-join, a scale-adaptive ``spread`` exchange) that the counts
+    don't need — otherwise every decoration is re-planned (and
+    re-executed) inside each axis's counts subtree. The caller
+    guarantees ``counts_from`` has the same multiset of
+    (group, value) rows as ``df``; ranks are pure functions of that
+    multiset, so the output is unchanged.
     """
     for _, bin_width, _ in specs:
         if bin_width <= 0:
@@ -109,14 +120,19 @@ def binned_scaled_ranks(
     binned = df
     for out, col in bins.items():
         binned = binned.withColumn(f"__bin_{out}", col)
+    counts_src = binned
+    if counts_from is not None:
+        counts_src = counts_from
+        for out, col in bins.items():
+            counts_src = counts_src.withColumn(f"__bin_{out}", col)
 
     out = binned
     for value_col, _, out_col in specs:
         b = f"__bin_{out_col}"
-        # Counts come from `binned` (the shared map-side projection of
-        # the input), never from `out` — this is what keeps earlier
+        # Counts come from `counts_src` (the shared map-side projection
+        # of the input), never from `out` — this is what keeps earlier
         # axes' window sorts out of later axes' count subtrees.
-        counts = binned.groupBy(group_col, b).agg(
+        counts = counts_src.groupBy(group_col, b).agg(
             F.count(F.lit(1)).alias("__n")
         )
         w_off = (
@@ -147,6 +163,7 @@ def scaled_rank_by_value(
     group_col: str,
     value_col: str,
     out_col: str = "r",
+    counts_from: DataFrame | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = ``2*rank + ties - 1`` (identical contract
     to :func:`binned_scaled_rank`) for a DOMAIN-BOUNDED value column —
@@ -164,8 +181,14 @@ def scaled_rank_by_value(
     prices). For unbounded/continuous values the lookup table grows
     with the data — use :func:`binned_scaled_rank`, which bounds
     per-task sort size instead.
+
+    ``counts_from``: derive the lookup table from this relation
+    instead of ``df`` — same contract and rationale as
+    :func:`binned_scaled_ranks`; the (group, value) multiset must be
+    identical, so the looked-up ranks are identical.
     """
-    vc = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__n"))
+    src = counts_from if counts_from is not None else df
+    vc = src.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("__n"))
     w_before = (
         Window.partitionBy(group_col)
         .orderBy(value_col)

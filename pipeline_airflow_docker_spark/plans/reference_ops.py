@@ -12,12 +12,12 @@ stamps from data (``doc_id``) instead so runs are replayable.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.functions.materialize import scratch_mkdtemp
 from pipeline_airflow_docker_spark.sources.scrape import STRIP_WS as _SCRAPE_STRIP_WS
 from pipeline_airflow_docker_spark.operators import (
     drop_null_rows,
@@ -55,7 +55,7 @@ _EPOCH_2024 = 1_704_067_200
 # --------------------------------------------------------------------
 @query("q_scan_csv", oracle="SELECT r_regionkey, r_name FROM region")
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    staging = os.path.join(tempfile.mkdtemp(prefix="padspark_csv_"), "region_csv")
+    staging = os.path.join(scratch_mkdtemp("padspark_csv_"), "region_csv")
     table(spark, sf_dir, "region").write.mode("overwrite").option("header", True).csv(staging)
     return spark.read.option("header", True).schema("r_regionkey INT, r_name STRING").csv(staging)
 
@@ -66,7 +66,7 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 @query("q_scan_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
 def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    staging = os.path.join(tempfile.mkdtemp(prefix="padspark_json_"), "nation_json")
+    staging = os.path.join(scratch_mkdtemp("padspark_json_"), "nation_json")
     table(spark, sf_dir, "nation").write.mode("overwrite").json(staging)
     return spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT").json(staging)
 
@@ -672,7 +672,7 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.sinks.batch import write_jdbc_replace  # noqa: PLC0415
 
-    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='padspark_jdbc_')}/db;create=true"
+    url = f"jdbc:derby:{scratch_mkdtemp('padspark_jdbc_')}/db;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     write_jdbc_replace(
         table(spark, sf_dir, "region").select("r_regionkey", "r_name"),
@@ -714,7 +714,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.sinks.batch import write_orc  # noqa: PLC0415
     from pipeline_airflow_docker_spark.sources.batch import read_orc  # noqa: PLC0415
 
-    path = os.path.join(tempfile.mkdtemp(prefix="padspark_orc_"), "supplier_orc")
+    path = os.path.join(scratch_mkdtemp("padspark_orc_"), "supplier_orc")
     write_orc(
         table(spark, sf_dir, "supplier").select(
             "s_suppkey", "s_nationkey", "s_name", "s_acctbal"
@@ -757,7 +757,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_airflow_docker_spark.sinks.batch import write_csv  # noqa: PLC0415
     from pipeline_airflow_docker_spark.sources.batch import read_csv  # noqa: PLC0415
 
-    path = os.path.join(tempfile.mkdtemp(prefix="padspark_csv_"), "documents_csv")
+    path = os.path.join(scratch_mkdtemp("padspark_csv_"), "documents_csv")
     write_csv(
         table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"
@@ -800,7 +800,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_json_records,
     )
 
-    path = os.path.join(tempfile.mkdtemp(prefix="padspark_jsonl_"), "documents_json")
+    path = os.path.join(scratch_mkdtemp("padspark_jsonl_"), "documents_json")
     write_json_records(
         table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang", "source", "n_chars"

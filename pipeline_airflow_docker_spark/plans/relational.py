@@ -81,6 +81,8 @@ ORDER BY l_returnflag, l_linestatus
 
 @query("q_agg_group", oracle=_PRICING_SQL)
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
+
     li = table(spark, sf_dir, "lineitem")
     # (1±x) factors at DECIMAL(8,4) keep every product within 38
     # digits — exact decimal on both engines (see _PRICING_SQL note).
@@ -88,9 +90,23 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1) - dec("l_discount")
     ).cast("decimal(8,4)")
     charge = disc_price * (F.lit(1) + dec("l_tax")).cast("decimal(8,4)")
-    return (
+    # r17: the seven decimal multiply-accumulates are the dominant
+    # per-row cost and they run BEFORE the first exchange; on an
+    # unsplittable input (1 row group) that serialized the whole
+    # aggregate onto one task (measured 1.00 s → 0.64 s at sf0.1 with
+    # the spread). No-op when the scan already has ≥3×cores splits —
+    # see operators/skew.py::spread. Filter stays below the exchange,
+    # so scan pushdown is unchanged (plan-gated).
+    li = spread(
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .select(
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ),
+        key="l_orderkey",
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
@@ -351,13 +367,19 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("view_ts"),
-        F.lit(1).alias("__kind"),
-    )
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
-        F.col("ts").alias("view_ts"), F.lit(0).alias("__kind"),
+    # r17: the tagged union used TWO scans of events (one per side);
+    # each input row maps to exactly one merged row, so a single scan
+    # with a CASE projection emits the identical merged relation —
+    # one pass instead of two at any scale (0.58 s → 0.35 s at sf0.1).
+    is_click = F.col("event_type") == "click"
+    merged = ev.filter(is_click | (F.col("event_type") == "view")).select(
+        # clicks keep their event_id; views contribute NULL (they are
+        # carriers for view_ts only) — identical to the old union rows.
+        F.when(is_click, F.col("event_id")).alias("event_id"),
+        "user_id",
+        "ts",
+        F.when(~is_click, F.col("ts")).alias("view_ts"),
+        F.when(is_click, F.lit(1)).otherwise(F.lit(0)).alias("__kind"),
     )
     # views sort before clicks at equal ts (__kind 0 < 1) => "at or
     # before" semantics; event_id makes the order total.
@@ -366,7 +388,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "__kind", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = clicks.unionByName(views).withColumn(
+    merged = merged.withColumn(
         "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("__kind") == 1).select(
@@ -463,7 +485,17 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
+
+    # r17: Expand (3× row fan-out) + decimal partial aggregation run
+    # before the exchange — spread so they parallelize on unsplittable
+    # inputs (1.06 s → 0.78 s at sf0.1); no-op on well-laid-out tables.
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"
+        ),
+        key="l_orderkey",
+    )
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -631,6 +663,16 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------
 # B13 set ops: intersect + except over distinct key sets, tagged and
 # stacked into one result.
+#
+# r17 plan shape: the literal intersect()/exceptAll() form planned the
+# two distinct subtrees TWICE each (4 scans, 5 exchanges — each set op
+# re-plans both inputs). Set semantics over DISTINCT inputs reduce to
+# presence flags on one NULL-SAFE full-outer join of the two distinct
+# aggregates: INTERSECT = present in both, EXCEPT = present left-only,
+# with <=> reproducing the set ops' NULL-equality contract
+# (tests/test_sqledge_contract.py). 2 scans, 3 exchanges, identical
+# rows (0.45 s → 0.31 s at sf0.1); at 100 TB this halves the passes
+# over both inputs. The oracle keeps the textbook INTERSECT/EXCEPT.
 # --------------------------------------------------------------------
 @query(
     "q_setops",
@@ -649,11 +691,32 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
-    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
-    both = cust.intersect(supp).withColumn("tag", F.lit("both"))
-    only = cust.exceptAll(supp).withColumn("tag", F.lit("customer_only"))
-    return both.unionByName(only).select("tag", "nationkey")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey")).distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey")).distinct()
+        .withColumn("__s", F.lit(1))
+    )
+    j = cust.join(
+        supp, cust["nationkey"].eqNullSafe(supp["nationkey"]), "full_outer"
+    ).select(
+        F.coalesce(cust["nationkey"], supp["nationkey"]).alias("nationkey"),
+        cust["__c"].alias("__c"),
+        supp["__s"].alias("__s"),
+    )
+    tag = (
+        F.when(F.col("__c").isNotNull() & F.col("__s").isNotNull(), F.lit("both"))
+        .when(F.col("__c").isNotNull(), F.lit("customer_only"))
+    )
+    return (
+        j.withColumn("tag", tag)
+        .filter(F.col("tag").isNotNull())
+        .select("tag", "nationkey")
+    )
 
 
 # --------------------------------------------------------------------
@@ -1726,7 +1789,18 @@ def q_win_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
+    from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
+
+    # r17: five decimal(18,4)² product-sums per row before the
+    # exchange — the slowest single-scan aggregate in the registry on
+    # an unsplittable input (1.89 s → 0.77 s at sf0.1 with the
+    # spread); no-op when the scan is already parallel.
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+        ),
+        key="l_orderkey",
+    )
     dq = dec("l_quantity", 18, 4)
     dp = dec("l_extendedprice", 18, 4)
     m = li.groupBy("l_returnflag").agg(
@@ -1806,6 +1880,7 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned_scaled_ranks,
         scaled_rank_by_value,
     )
+    from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
 
     # Contract: correlation over rows where BOTH measures are non-NULL
     # (pairwise deletion — a NULL has no rank on either axis).
@@ -1829,9 +1904,25 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   bin-parallel window (width 2048 -> ~50 bins/group; the sort
     #   partitions by (flag, bin), parallelism scales with the width
     #   knob, never the group count).
-    ranked = scaled_rank_by_value(li, "l_returnflag", "l_quantity", out_col="rx")
+    #
+    # r17 plan restructure: BOTH count tables now derive from the raw
+    # filtered scan (``counts_from=li``) instead of the previous
+    # axis's decorated output — the old composition re-planned the qty
+    # lut join inside the price axis's counts subtree (4 lineitem
+    # scans, 11 exchanges; now 3 scans, 8 exchanges). The fact lineage
+    # additionally gets a scale-adaptive spread (hash on the
+    # near-unique price — no-op on well-laid-out inputs) so the bin
+    # projection and broadcast-join probes parallelize on unsplittable
+    # local files. Measured 1.82 s → 1.29 s at sf0.1; ranks are pure
+    # functions of the (flag, value) multisets, so results are
+    # bit-identical (oracle re-verified).
+    fact = spread(li, key="l_extendedprice")
     ranked = binned_scaled_ranks(
-        ranked, "l_returnflag", [("l_extendedprice", 2048.0, "ry")]
+        fact, "l_returnflag", [("l_extendedprice", 2048.0, "ry")],
+        counts_from=li,
+    )
+    ranked = scaled_rank_by_value(
+        ranked, "l_returnflag", "l_quantity", out_col="rx", counts_from=li
     ).select("l_returnflag", "rx", "ry")
     m = ranked.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),

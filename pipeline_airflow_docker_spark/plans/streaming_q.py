@@ -12,12 +12,12 @@ reproduces them; session windows are gaps-and-islands in SQL.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.functions.materialize import scratch_mkdtemp
 from pipeline_airflow_docker_spark.plans.registry import query
 from pipeline_airflow_docker_spark.streaming.runner import run_to_df
 from pipeline_airflow_docker_spark.streaming.sinks import (
@@ -202,7 +202,7 @@ def q_stream_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_table(spark, sf_dir, "events", n_files=2, max_files_per_trigger=1)
-    target = os.path.join(tempfile.mkdtemp(prefix="padspark_upsert_"), "state")
+    target = os.path.join(scratch_mkdtemp("padspark_upsert_"), "state")
     run_to_df(
         ev.select("user_id", "event_type", "ts", "event_id", "value"),
         output_mode="append",
@@ -529,7 +529,7 @@ def q_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_by_key(redelivered, ["event_id"], horizon=HORIZON_2024)
     filtered = deduped.filter(F.col("event_type").isin("click", "purchase"))
     agg = tumbling_counts(filtered, window="1 hour", delay=None)
-    target = os.path.join(tempfile.mkdtemp(prefix="padspark_e2e_"), "serve")
+    target = os.path.join(scratch_mkdtemp("padspark_e2e_"), "serve")
     run_to_df(
         agg,
         output_mode="complete",

@@ -11,8 +11,9 @@ effectively-exactly-once by idempotent sinks (sinks.py).
 
 from __future__ import annotations
 
-import tempfile
 import uuid
+
+from pipeline_airflow_docker_spark.functions.materialize import scratch_mkdtemp
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -42,7 +43,10 @@ def run_to_df(
     per-query knob here rather than session config."""
     spark: SparkSession = sdf.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    ckpt = tempfile.mkdtemp(prefix="padspark_ckpt_")
+    # Throwaway bounded-replay checkpoint on the fastest local
+    # scratch (r17; see scratch_mkdtemp) — production swaps this
+    # for durable shared storage.
+    ckpt = scratch_mkdtemp("padspark_ckpt_")
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

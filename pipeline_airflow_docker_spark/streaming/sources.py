@@ -12,11 +12,11 @@ downstream operator is source-agnostic.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 from pipeline_airflow_docker_spark.catalog import table
+from pipeline_airflow_docker_spark.functions.materialize import scratch_mkdtemp
 
 _STAGED: dict[tuple[str, str, int], str] = {}
 
@@ -31,7 +31,7 @@ def stage_table(
     key = (sf_dir, name, n_files)
     if key not in _STAGED or not os.path.isdir(_STAGED[key]):
         out = os.path.join(
-            tempfile.mkdtemp(prefix=f"padspark_stream_{name}_"), "data"
+            scratch_mkdtemp(f"padspark_stream_{name}_"), "data"
         )
         df = table(spark, sf_dir, name)
         if n_files > 1:
@@ -87,7 +87,7 @@ def stage_files(
     if cache_key is not None and cache_key in _STAGED_SEQ:
         if os.path.isdir(_STAGED_SEQ[cache_key]):
             return _STAGED_SEQ[cache_key]
-    out = os.path.join(tempfile.mkdtemp(prefix="padspark_stream_seq_"), "data")
+    out = os.path.join(scratch_mkdtemp("padspark_stream_seq_"), "data")
     base = 1_600_000_000
     seen: set[str] = set()
     for i, df in enumerate(dfs):
