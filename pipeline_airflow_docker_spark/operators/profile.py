@@ -70,7 +70,16 @@ def profile_columns(
         aggs.append(n_distinct(c).alias(f"__nd_{c}"))
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
-    wide = df.agg(*aggs)
+    # r17: the exact-distinct Expand multiplies rows ×(len(cols)+1)
+    # BEFORE the first exchange; on an unsplittable input that
+    # serialized the whole profile onto one task (6.2 s → 1.1 s at
+    # sf0.1 on the 4-column lineitem profile). Scale-adaptive: no-op
+    # once the scan has ≥3×cores splits; hash on the profiled columns
+    # themselves (high joint cardinality by construction — they are
+    # the columns being distinct-counted).
+    from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
+
+    wide = spread(df.select(*dict.fromkeys(cols)), key=cols).agg(*aggs)
 
     def _entry(c: str) -> Column:
         numeric = isinstance(by_name[c], _NUMERIC_TYPES)

@@ -73,7 +73,11 @@ def salted_agg(
     )
 
 
-def spread(df: DataFrame, key: str | None = None, factor: int = 3) -> DataFrame:
+def spread(
+    df: DataFrame,
+    key: str | Sequence[str] | None = None,
+    factor: int = 3,
+) -> DataFrame:
     """Scale-adaptive input spread for CPU-heavy map-side pipelines
     (guide §2.5 "input skew: one huge unsplittable file ... repartition
     immediately after the read").
@@ -108,7 +112,8 @@ def spread(df: DataFrame, key: str | None = None, factor: int = 3) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     if key is not None:
-        return df.repartition(target, F.col(key))
+        keys = [key] if isinstance(key, str) else list(key)
+        return df.repartition(target, *[F.col(k) for k in keys])
     return df.repartition(target)
 
 

@@ -460,3 +460,48 @@ def moments_spread_hash(spark, sf_dir):
             / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n))
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+def join_outer_preagg(spark, sf_dir):
+    """Count orders per custkey BEFORE the join: the left join then
+    attaches one pre-counted row per customer instead of fanning out
+    order rows. count(o_orderkey) skips NULL orderkeys exactly like
+    the fanned-out count."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust_orders = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__cnt")
+    )
+    per_cust = (
+        c.join(per_cust_orders, c.c_custkey == per_cust_orders.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("__cnt"), F.lit(0)).alias("c_count"),
+        )
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def join_outer_preagg2(spark, sf_dir):
+    """Correct under duplicate/NULL c_custkey: re-group by c_custkey
+    after the attach, summing the pre-counted orders per customer ROW
+    (duplicate custkeys merge exactly like the fanned-out groupBy)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust_orders = o.groupBy("o_custkey").agg(
+        F.count("o_orderkey").alias("__cnt")
+    )
+    per_cust = (
+        c.join(per_cust_orders, c.c_custkey == per_cust_orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.sum(F.coalesce(F.col("__cnt"), F.lit(0))).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
