@@ -149,6 +149,16 @@ def materialize(
         # this mode was chosen for AND starts a fresh scan lineage.
         how = "parquet_scratch"
     if how == "local_checkpoint":
+        # EAGER is load-bearing (r17 optimization round finding): lazy
+        # (eager=False) measured faster at sf0.1 (one fewer scheduling
+        # round: q_dedup_minhash 1.08 s → 0.87 s) but the sf10
+        # stage-bytes gate caught it recomputing the expensive parent
+        # once per consumer SUBTREE when several subtrees of one job
+        # read the not-yet-materialized RDD (minhash verify reads the
+        # shingle table three ways): executor time 256 s → 937 s and
+        # wall 10 s → 31 s at sf10; pagerank 120 s → 202 s. Eager pays
+        # one extra tiny job and guarantees every consumer reads
+        # materialized blocks.
         return df.localCheckpoint(eager=True)
     if how == "disk_persist":
         out = df.persist(StorageLevel.DISK_ONLY)

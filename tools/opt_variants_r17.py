@@ -505,3 +505,49 @@ def join_outer_preagg2(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+def minhash_lazy_ckpt(spark, sf_dir):
+    """q_dedup_minhash with a LAZY localCheckpoint of the shingle
+    table: the eager form runs a dedicated materialization job before
+    any consumer; lazy materializes during the first consumer job
+    (the band aggregate computes every partition), saving one full
+    scheduling round."""
+    from pipeline_airflow_docker_spark.operators import dedup as dd
+    from pyspark.sql import functions as FF
+
+    orig = dd.materialize
+    def lazy_mat(df, how=None, truncate=False):
+        return df.localCheckpoint(eager=False)
+    dd.materialize = lazy_mat
+    try:
+        d = table(spark, sf_dir, "documents")
+        return dd.minhash_dup_pairs(d, "doc_id", "text", n=3, n_hashes=8, n_bands=4, threshold=0.8)
+    finally:
+        dd.materialize = orig
+
+
+def bloom_join_spread(spark, sf_dir):
+    from pipeline_airflow_docker_spark.operators.bloomjoin import bloom_semi_join
+    from pipeline_airflow_docker_spark.operators.skew import spread
+
+    li = spread(
+        table(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_returnflag", "l_extendedprice"
+        ),
+        key="l_suppkey",
+    )
+    dim = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select("s_suppkey")
+    )
+    semi = bloom_semi_join(li, "l_suppkey", dim, "s_suppkey")
+    return (
+        semi.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
