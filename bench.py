@@ -635,6 +635,13 @@ def main() -> int:
         calibration[f"{k}_sec_post"] = cal_best_post[f"{k}_sec"]
         calibration[f"{k}_ref_sec"] = cal_best_pre.get(f"{k}_ref_sec")
     calibration["drag_ratio"] = best["drag_ratio"]
+    # r18 (PERF_r17 scaling block read suspect_cpus_ignored): nothing
+    # in the output proved $SPARK_GRAFT_CPUS was honored — at sf0.1
+    # every key is floor-bound, so 8- vs 32-core TIMES cannot tell the
+    # master apart. Emit the session's effective parallelism in the
+    # never-dropped calibration record so the driver can verify the
+    # core count directly instead of inferring it from wall clock.
+    calibration["cpus_effective"] = spark.sparkContext.defaultParallelism
 
     # Full per-pass record (per-key times and medians of every pass,
     # every probe bracket) — too big for the driver's stdout tail, so

@@ -80,6 +80,17 @@ _DEPS: "weakref.WeakKeyDictionary[DataFrame, list[DataFrame]]" = (
 )
 
 
+# tmpfs is only eligible as scratch when it has this much headroom
+# (bytes). Docker defaults /dev/shm to 64 MB — staging a parquet
+# materialization there would ENOSPC or, worse, compete with the JVM
+# heap for RAM (r17 ADVICE). Harness artifacts measure ≲2 GB at sf10;
+# 8 GiB of free shm keeps a wide margin and still admits this box's
+# 126 GB tmpfs. Override via SPARK_GRAFT_SCRATCH_MIN_FREE_GB.
+_SHM_MIN_FREE_BYTES = int(
+    float(os.environ.get("SPARK_GRAFT_SCRATCH_MIN_FREE_GB", "8")) * 1024**3
+)
+
+
 def scratch_mkdtemp(prefix: str) -> str:
     """mkdtemp on the FASTEST available local scratch, for throwaway
     harness artifacts (streaming checkpoints, staged stream topics,
@@ -89,22 +100,36 @@ def scratch_mkdtemp(prefix: str) -> str:
     shared virtio disk, whose multi-second latency bursts land
     squarely on checkpoint commits and staging writes — the same wall
     session.py already moves spark.local.dir off of. Preference
-    order: $SPARK_GRAFT_SCRATCH (explicit override) > /dev/shm (tmpfs;
-    present on any Linux, 126 GB here — harness artifacts are ≲2 GB at
-    sf10) > system default. Local-mode harness scratch ONLY: a
-    production deployment puts streaming checkpoints on durable shared
-    storage (see streaming/runner.py), which this helper is not for.
+    order: $SPARK_GRAFT_SCRATCH (explicit override) > /dev/shm (tmpfs)
+    > system default. Local-mode harness scratch ONLY: a production
+    deployment puts streaming checkpoints on durable shared storage
+    (see streaming/runner.py), which this helper is not for.
     Measured: q_stream_bounded 1.13 s → 1.02 s at sf0.1, and it
     removes the sporadic 10-20 s /tmp-stall class from every
-    streaming/IO key's tail."""
+    streaming/IO key's tail.
+
+    r18 (ADVICE hardening): /dev/shm is only used when statvfs reports
+    ≥ SPARK_GRAFT_SCRATCH_MIN_FREE_GB (default 8 GiB) free — a Docker
+    deployment's 64 MB shm, or a tmpfs already filled by a co-tenant,
+    falls back to the system tempdir instead of ENOSPC'ing a
+    checkpoint commit or squeezing the JVM; and the shared root is
+    per-uid with mode 0700 (the first user on a multi-user host used
+    to own the fixed path and everyone else's mkdtemp inside it died
+    with PermissionError). Any tmpfs failure falls back to the system
+    default rather than raising."""
     env = os.environ.get("SPARK_GRAFT_SCRATCH")
     if env:
         os.makedirs(env, exist_ok=True)
         return tempfile.mkdtemp(prefix=prefix, dir=env)
     if os.path.isdir("/dev/shm"):
-        root = "/dev/shm/spark_graft_tmp"
-        os.makedirs(root, exist_ok=True)
-        return tempfile.mkdtemp(prefix=prefix, dir=root)
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+                root = f"/dev/shm/spark_graft_tmp_{os.getuid()}"
+                os.makedirs(root, mode=0o700, exist_ok=True)
+                return tempfile.mkdtemp(prefix=prefix, dir=root)
+        except OSError:
+            pass
     return tempfile.mkdtemp(prefix=prefix)
 
 

@@ -35,51 +35,62 @@ def profile_columns(
 ) -> DataFrame:
     """Deequ-style column profile: one row per column with
     ``(column_name, n_rows, n_nonnull, n_distinct, min_num, max_num,
-    min_str, max_str)``.
+    min_str, max_str)``. One scan of the input on either path.
 
-    All statistics for all columns are computed in a SINGLE aggregate
-    over the input (one scan; Catalyst plans one Expand + hash
-    aggregate for the distinct counts), then the 1-row wide result is
-    exploded into the long per-column shape — the explode touches one
-    row, so the whole profile costs one pass over the table.
+    ``exact_distinct=True`` (default): exact distinct counts WITHOUT
+    the multi-countDistinct Expand (r18). Catalyst plans N
+    countDistinct aggregates as Expand ×(N+1) feeding three
+    SortAggregate layers with a Sort of the expanded rows — at sf0.1
+    that sort dominated this operator (slowest registry key, ~2.9 s;
+    plans/r18/q_profile_before.txt). Instead: explode one
+    ``(idx, value)`` struct per profiled column per row, then two
+    HashAggregates — ``groupBy(idx, value).count()`` (map-side partial
+    collapses duplicates before the only full-width exchange), then
+    per-idx ``n_rows = Σc``, ``n_nonnull = Σc over non-null groups``,
+    ``n_distinct = #non-null groups``, min/max over group keys. The
+    distinct semantics match countDistinct exactly — grouping
+    normalizes NaN/-0.0 on float keys just like countDistinct does —
+    and raw float payload copies keep min/max over the raw values. A
+    literal idx spine keeps n_cols output rows on empty input.
+    Measured 2.35 s → 1.50 s at sf0.1 (checksum-identical); shuffle
+    volume class is unchanged (per-partition-distinct partials either
+    way), the win is codegen hash aggregation replacing sorts.
 
-    Scale note (100 TB): ``exact_distinct=True`` plans an Expand that
-    multiplies scan rows by ``len(cols)`` before the partial aggregate.
-    That is the exact-answer cost everywhere; pass
-    ``exact_distinct=False`` to use ``approx_count_distinct`` (HLL++,
-    fixed-size sketch, no Expand) — the profile then costs exactly one
-    map-side pass regardless of column count. ``approx_rsd`` is the
-    sketch's maximum relative standard deviation (Spark default 0.05;
-    smaller = bigger sketch = tighter estimate); only the ``n_distinct``
-    column is approximate — every other statistic is computed by the
-    same exact aggregate on both paths.
+    ``exact_distinct=False``: ``approx_count_distinct`` (HLL++,
+    fixed-size sketch) in a single wide aggregate — exactly one
+    map-side pass regardless of column count; only ``n_distinct`` is
+    approximate (``approx_rsd`` = the sketch's maximum relative
+    standard deviation, Spark default 0.05), every other statistic is
+    exact on both paths.
     """
     by_name = {f.name: f.dataType for f in df.schema.fields}
     missing = [c for c in cols if c not in by_name]
     if missing:
         raise ValueError(f"profile_columns: unknown columns {missing!r}")
 
-    n_distinct = (
-        F.countDistinct
-        if exact_distinct
-        else lambda c: F.approx_count_distinct(c, rsd=approx_rsd)
-    )
+    # Scale-adaptive spread before the per-row work (r17): no-op once
+    # the scan has ≥3×cores splits; hash on the profiled columns
+    # (beats round-robin 1.50 vs 1.72 s — skips the SPARK-23207 sort).
+    # Known trade (r18 ADVICE): a LOW joint-cardinality profile set
+    # (all flags/enums) concentrates the spread onto ≤ n-distinct
+    # tasks — but the same low cardinality collapses the map-side
+    # partial aggregate, bounding the per-task work the spread exists
+    # to parallelize; the high-cardinality case is the expensive one
+    # and hash handles it best.
+    from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
+
+    src = spread(df.select(*dict.fromkeys(cols)), key=cols)
+
+    if exact_distinct:
+        return _profile_exact(df, src, cols, by_name)
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n_rows")]
     for c in cols:
         aggs.append(F.count(c).alias(f"__nn_{c}"))
-        aggs.append(n_distinct(c).alias(f"__nd_{c}"))
+        aggs.append(F.approx_count_distinct(c, rsd=approx_rsd).alias(f"__nd_{c}"))
         aggs.append(F.min(c).alias(f"__min_{c}"))
         aggs.append(F.max(c).alias(f"__max_{c}"))
-    # r17: the exact-distinct Expand multiplies rows ×(len(cols)+1)
-    # BEFORE the first exchange; on an unsplittable input that
-    # serialized the whole profile onto one task (6.2 s → 1.1 s at
-    # sf0.1 on the 4-column lineitem profile). Scale-adaptive: no-op
-    # once the scan has ≥3×cores splits; hash on the profiled columns
-    # themselves (high joint cardinality by construction — they are
-    # the columns being distinct-counted).
-    from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
-
-    wide = spread(df.select(*dict.fromkeys(cols)), key=cols).agg(*aggs)
+    wide = src.agg(*aggs)
 
     def _entry(c: str) -> Column:
         numeric = isinstance(by_name[c], _NUMERIC_TYPES)
@@ -107,6 +118,102 @@ def profile_columns(
     return wide.select(
         F.explode(F.array(*[_entry(c) for c in cols])).alias("p")
     ).select("p.*")
+
+
+def _profile_exact(
+    df: DataFrame, src: DataFrame, cols: list[str], by_name: dict
+) -> DataFrame:
+    """Exact-distinct profile body (see :func:`profile_columns`)."""
+    # One struct field per distinct dtype among cols: cross-type
+    # collisions are impossible (idx is in the group key) and every
+    # value keeps its native type for exact grouping and min/max.
+    field_of: dict[str, str] = {}
+    dtypes: list[tuple[str, T.DataType]] = []
+    for c in cols:
+        key = by_name[c].simpleString()
+        if key not in field_of:
+            field_of[key] = f"__v{len(dtypes)}"
+            dtypes.append((key, by_name[c]))
+    float_keys = {
+        k for k, dt in dtypes if isinstance(dt, (T.FloatType, T.DoubleType))
+    }
+
+    entries = []
+    for i, c in enumerate(cols):
+        ckey = by_name[c].simpleString()
+        fields = [F.lit(i).alias("__idx"), F.col(c).isNotNull().alias("__nn")]
+        for key, dt in dtypes:
+            val = F.col(c) if key == ckey else F.lit(None).cast(dt)
+            fields.append(val.alias(field_of[key]))
+            if key in float_keys:
+                # Raw payload copy: the GROUP-KEY copy is NaN/-0.0-
+                # normalized by the aggregate (countDistinct semantics,
+                # wanted); min/max must see the raw values.
+                fields.append(val.alias(f"{field_of[key]}__raw"))
+        entries.append(F.struct(*fields))
+
+    ex = src.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+    key_cols = ["__idx", "__nn", *[field_of[k] for k, _ in dtypes]]
+    g1_aggs = [F.count(F.lit(1)).alias("__c")]
+    for k, _ in dtypes:
+        f = field_of[k]
+        if k in float_keys:
+            g1_aggs.append(F.min(f"{f}__raw").alias(f"{f}__rmin"))
+            g1_aggs.append(F.max(f"{f}__raw").alias(f"{f}__rmax"))
+    g1 = ex.groupBy(*key_cols).agg(*g1_aggs)
+
+    g2_aggs = [
+        F.sum("__c").alias("__n_rows"),
+        F.sum(F.when(F.col("__nn"), F.col("__c")).otherwise(F.lit(0))).alias(
+            "__n_nonnull"
+        ),
+        F.sum(F.when(F.col("__nn"), F.lit(1)).otherwise(F.lit(0))).alias(
+            "__n_distinct"
+        ),
+    ]
+    for k, _ in dtypes:
+        f = field_of[k]
+        if k in float_keys:
+            g2_aggs.append(F.min(f"{f}__rmin").alias(f"{f}__min"))
+            g2_aggs.append(F.max(f"{f}__rmax").alias(f"{f}__max"))
+        else:
+            g2_aggs.append(F.min(f).alias(f"{f}__min"))
+            g2_aggs.append(F.max(f).alias(f"{f}__max"))
+    g2 = g1.groupBy("__idx").agg(*g2_aggs)
+
+    # Literal spine: keeps one output row per profiled column when the
+    # input is EMPTY (the aggregate then yields no idx groups at all;
+    # the old wide-aggregate form yielded its single row regardless).
+    spine = df.sparkSession.range(len(cols)).select(
+        F.col("id").cast("int").alias("__sidx"),
+        F.array(*[F.lit(c) for c in cols])[F.col("id").cast("int")].alias(
+            "column_name"
+        ),
+    )
+    j = spine.join(g2, spine["__sidx"] == g2["__idx"], "left")
+
+    def _minmax(which: str, numeric: bool) -> Column:
+        out = None
+        for i, c in enumerate(cols):
+            if isinstance(by_name[c], _NUMERIC_TYPES) != numeric:
+                continue
+            f = field_of[by_name[c].simpleString()]
+            expr = F.col(f"{f}__{which}").cast("double" if numeric else "string")
+            cond = F.col("__sidx") == i
+            out = F.when(cond, expr) if out is None else out.when(cond, expr)
+        return out if out is not None else F.lit(None)
+
+    return j.select(
+        "column_name",
+        F.coalesce("__n_rows", F.lit(0)).alias("n_rows"),
+        F.coalesce("__n_nonnull", F.lit(0)).alias("n_nonnull"),
+        F.coalesce("__n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        _minmax("min", True).cast("double").alias("min_num"),
+        _minmax("max", True).cast("double").alias("max_num"),
+        _minmax("min", False).cast("string").alias("min_str"),
+        _minmax("max", False).cast("string").alias("max_str"),
+    )
 
 
 def histogram_fixed(

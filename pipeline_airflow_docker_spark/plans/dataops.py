@@ -32,7 +32,8 @@ from pipeline_airflow_docker_spark.plans.registry import query
 
 # --------------------------------------------------------------------
 # Column profile: one row of stats per profiled column, computed in a
-# single pass (one Expand + aggregate; see operators/profile.py for the
+# single pass (r18: exploded per-column values + two HashAggregates —
+# no multi-countDistinct Expand; see operators/profile.py for the
 # exact- vs approx-distinct scale trade).
 # --------------------------------------------------------------------
 _PROFILE_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_linestatus"]

@@ -670,7 +670,8 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 # presence flags on one NULL-SAFE full-outer join of the two distinct
 # aggregates: INTERSECT = present in both, EXCEPT = present left-only,
 # with <=> reproducing the set ops' NULL-equality contract
-# (tests/test_sqledge_contract.py). 2 scans, 3 exchanges, identical
+# (tests/test_sqledge_contract.py). 2 scans, 4 exchanges (one per
+# distinct + two join sides; plans/r17/q_setops_after.txt), identical
 # rows (0.45 s → 0.31 s at sf0.1); at 100 TB this halves the passes
 # over both inputs. The oracle keeps the textbook INTERSECT/EXCEPT.
 # --------------------------------------------------------------------

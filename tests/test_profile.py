@@ -49,7 +49,12 @@ def test_profile_single_pass_one_scan(spark):
     assert "Union" not in explained
 
 
-def test_profile_approx_distinct_has_no_expand(spark):
+def test_profile_no_expand_either_path(spark):
+    """r18: the exact path no longer uses the multi-countDistinct
+    Expand (Expand ×(n+1) fed three SortAggregate layers plus a Sort of
+    the expanded rows — the slowest plan in the registry); both paths
+    must now plan Expand-free, and the exact path must aggregate with
+    hash aggregates, not sort aggregates."""
     df = spark.range(1000).select(
         F.col("id"), (F.col("id") % 13).cast("double").alias("v")
     )
@@ -57,11 +62,54 @@ def test_profile_approx_distinct_has_no_expand(spark):
     approx = profile_columns(df, ["id", "v"], exact_distinct=False)
     exact_plan = exact._jdf.queryExecution().executedPlan().toString()
     approx_plan = approx._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in exact_plan  # cost of exactness, documented
+    assert "Expand" not in exact_plan
+    assert "SortAggregate" not in exact_plan
     assert "Expand" not in approx_plan  # HLL++ path: pure one-pass
     # HLL++ on these cardinalities is exact enough to agree.
     a = {r["column_name"]: r["n_distinct"] for r in approx.collect()}
     assert a["v"] == 13
+    e = {r["column_name"]: r["n_distinct"] for r in exact.collect()}
+    assert e == {"id": 1000, "v": 13}
+
+
+def test_profile_empty_input_keeps_one_row_per_column(spark):
+    """The exploded-aggregate form yields no groups on empty input;
+    the literal idx spine must keep the one-row-per-column contract
+    (zero counts, NULL min/max) the wide-aggregate form had."""
+    df = spark.createDataFrame([], "id bigint, v double, s string")
+    out = {
+        r["column_name"]: r.asDict()
+        for r in profile_columns(df, ["id", "v", "s"]).collect()
+    }
+    assert set(out) == {"id", "v", "s"}
+    for c in ("id", "v", "s"):
+        assert out[c]["n_rows"] == 0
+        assert out[c]["n_nonnull"] == 0
+        assert out[c]["n_distinct"] == 0
+        assert out[c]["min_num"] is None and out[c]["min_str"] is None
+
+
+def test_profile_exact_distinct_normalizes_float_keys(spark):
+    """countDistinct semantics on floats: -0.0 and 0.0 are ONE distinct
+    value and every NaN is the same value — the explode/groupBy form
+    must reproduce that (grouping normalizes the key copy) while
+    min/max still see raw values."""
+    df = spark.createDataFrame(
+        [(1, -0.0), (2, 0.0), (3, float("nan")), (4, float("nan")), (5, 2.5)],
+        "id bigint, v double",
+    )
+    exp = df.select(
+        F.countDistinct("v").alias("nd"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).collect()[0]
+    got = {
+        r["column_name"]: r.asDict()
+        for r in profile_columns(df, ["id", "v"]).collect()
+    }["v"]
+    assert got["n_distinct"] == exp["nd"]
+    assert got["min_num"] == exp["mn"]
+    assert (got["max_num"] != got["max_num"]) == (exp["mx"] != exp["mx"])  # NaN
 
 
 def test_profile_approx_semantics_vs_exact(spark):

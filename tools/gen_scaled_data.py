@@ -16,6 +16,17 @@ would measure corpus pathology rather than operator scaling.
 Embeddings are kept identical across replicas (ANN top-k ties resolve
 deterministically by id).
 
+r18 (PERF_r17 scaling block): generated tables are written with 32 MB
+parquet row groups (``parquet.block.size``). The driver testdata is
+one row group per table — unsplittable, every scan decodes in one
+task — and replicating that layout into the generated sf≥1 dirs made
+local scale sweeps inherit the same serialization instead of
+exercising parallel scans. 32 MB row groups split naturally under both
+the local 4 MB ``maxPartitionBytes`` and the cluster 128 MB default,
+so low-core vs 32-core pairs on generated data measure real scan
+parallelism (the remedy the scale-adaptive spread exists for is the
+*driver's* read-only data, not ours).
+
 Usage: python tools/gen_scaled_data.py [--base /root/testdata/sf0.1]
            [--out /root/repo/.benchdata/sf1.0] [--replicas 10]
 """
@@ -31,6 +42,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Per-replica key offset: far above any base key at these SFs, far
 # below bigint overflow at any replica count we'd use locally.
 OFFSET = 10_000_000
+
+# Row-group size for generated tables (see module docstring): small
+# enough that every table splits across cores, large enough that a
+# 100 TB-shaped scan is not seek-bound.
+ROW_GROUP_BYTES = 32 * 1024 * 1024
+
+
+def _write(df, dest: str) -> None:
+    df.write.mode("overwrite").option(
+        "parquet.block.size", str(ROW_GROUP_BYTES)
+    ).parquet(dest)
 
 # table -> columns that get the replica offset (join/identity keys
 # only; foreign keys into the *unreplicated* dims — nationkey,
@@ -66,7 +88,7 @@ def main() -> int:
 
     for name in COPIED:
         df = table(spark, args.base, name)
-        df.write.mode("overwrite").parquet(os.path.join(args.out, f"{name}.parquet"))
+        _write(df, os.path.join(args.out, f"{name}.parquet"))
         print(f"{name}: copied ({df.count()} rows)")
 
     for name, keys in KEYED.items():
@@ -105,7 +127,7 @@ def main() -> int:
         for p in parts[1:]:
             out = out.unionByName(p)
         dest = os.path.join(args.out, f"{name}.parquet")
-        out.write.mode("overwrite").parquet(dest)
+        _write(out, dest)
         print(f"{name}: x{args.replicas} -> {out.count()} rows")
     print(f"done: {args.out}")
     return 0
