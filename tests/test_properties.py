@@ -610,6 +610,38 @@ def test_binned_scaled_ranks_two_axes_equal_plain_windows(spark, vals, widths):
     assert got == exp
 
 
+def test_binned_scaled_ranks_counts_from_null_groups_and_ties(spark):
+    """counts_from contract (r17 optimization; r18 ADVICE): a caller
+    passing an equivalent-multiset base relation — here a decorated
+    copy of the same rows, including NULL groups and tied values —
+    must get ranks identical to the plain form. Exercises exactly the
+    invariant the q_corr_spearman call site relies on."""
+    from pipeline_airflow_docker_spark.operators.ranks import binned_scaled_ranks
+
+    rows = [
+        (None, 1.0, 0), (None, 1.0, 1), (None, 3.5, 2),   # NULL group + tie
+        (1, -2.0, 3), (1, -2.0, 4), (1, -2.0, 5),          # 3-way tie
+        (1, 7.25, 6), (2, 0.0, 7),
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, id long")
+    # The decorated frame a real caller would rank over (extra column,
+    # extra exchange); the UNDECORATED base carries the same (g, v)
+    # multiset — the documented contract.
+    decorated = df.repartition(7).withColumn("noise", F.lit("x"))
+    base = df.select("g", "v")
+    got = {
+        (r.id, int(r.r))
+        for r in binned_scaled_ranks(
+            decorated, "g", [("v", 2.0, "r")], counts_from=base
+        ).collect()
+    }
+    exp = {
+        (r.id, int(r.r))
+        for r in binned_scaled_ranks(decorated, "g", [("v", 2.0, "r")]).collect()
+    }
+    assert got == exp
+
+
 @SLOW
 @given(
     vals=st.lists(
