@@ -80,15 +80,22 @@ _DEPS: "weakref.WeakKeyDictionary[DataFrame, list[DataFrame]]" = (
 )
 
 
-# tmpfs is only eligible as scratch when it has this much headroom
-# (bytes). Docker defaults /dev/shm to 64 MB — staging a parquet
-# materialization there would ENOSPC or, worse, compete with the JVM
-# heap for RAM (r17 ADVICE). Harness artifacts measure ≲2 GB at sf10;
-# 8 GiB of free shm keeps a wide margin and still admits this box's
-# 126 GB tmpfs. Override via SPARK_GRAFT_SCRATCH_MIN_FREE_GB.
-_SHM_MIN_FREE_BYTES = int(
-    float(os.environ.get("SPARK_GRAFT_SCRATCH_MIN_FREE_GB", "8")) * 1024**3
-)
+def _shm_min_free_bytes() -> int:
+    """tmpfs is only eligible as scratch when it has this much headroom.
+    Docker defaults /dev/shm to 64 MB — staging a parquet
+    materialization there would ENOSPC or, worse, compete with the JVM
+    heap for RAM (r17 ADVICE). Harness artifacts measure ≲2 GB at
+    sf10; 8 GiB of free shm keeps a wide margin and still admits this
+    box's 126 GB tmpfs. Override via SPARK_GRAFT_SCRATCH_MIN_FREE_GB;
+    parsed lazily per call (an import-time parse would crash the whole
+    package on a malformed value and freeze later overrides), and a
+    malformed value falls back to the default rather than raising."""
+    try:
+        return int(
+            float(os.environ.get("SPARK_GRAFT_SCRATCH_MIN_FREE_GB", "8")) * 1024**3
+        )
+    except ValueError:
+        return 8 * 1024**3
 
 
 def scratch_mkdtemp(prefix: str) -> str:
@@ -124,10 +131,25 @@ def scratch_mkdtemp(prefix: str) -> str:
     if os.path.isdir("/dev/shm"):
         try:
             st = os.statvfs("/dev/shm")
-            if st.f_bavail * st.f_frsize >= _SHM_MIN_FREE_BYTES:
+            if st.f_bavail * st.f_frsize >= _shm_min_free_bytes():
                 root = f"/dev/shm/spark_graft_tmp_{os.getuid()}"
                 os.makedirs(root, mode=0o700, exist_ok=True)
-                return tempfile.mkdtemp(prefix=prefix, dir=root)
+                # makedirs(exist_ok=True) ignores mode on a
+                # PRE-EXISTING dir: /dev/shm is world-writable, so a
+                # hostile local user could have squatted the path
+                # first and would then own every scratch dir created
+                # inside it. Only trust a root this uid owns with no
+                # group/other access; anything else falls back to the
+                # (safe, private) system tempdir.
+                import stat as _stat  # noqa: PLC0415
+
+                rst = os.lstat(root)
+                if (
+                    _stat.S_ISDIR(rst.st_mode)
+                    and rst.st_uid == os.getuid()
+                    and not (rst.st_mode & 0o077)
+                ):
+                    return tempfile.mkdtemp(prefix=prefix, dir=root)
         except OSError:
             pass
     return tempfile.mkdtemp(prefix=prefix)

@@ -54,7 +54,13 @@ def profile_columns(
     literal idx spine keeps n_cols output rows on empty input.
     Measured 2.35 s → 1.50 s at sf0.1 (checksum-identical); shuffle
     volume class is unchanged (per-partition-distinct partials either
-    way), the win is codegen hash aggregation replacing sorts.
+    way), the win is codegen hash aggregation replacing sorts. Scope
+    note: the HEAVY stage — the per-(idx, value) distinct aggregate
+    over the exploded rows — is always a HashAggregate; when a STRING
+    column is profiled, the tiny per-idx finalization (min/max string
+    buffers are not hash-aggregable) still plans one SortAggregate
+    pair, but its sort input is the already-collapsed distinct table,
+    not the ×n_cols exploded rows the old plan sorted.
 
     ``exact_distinct=False``: ``approx_count_distinct`` (HLL++,
     fixed-size sketch) in a single wide aggregate — exactly one

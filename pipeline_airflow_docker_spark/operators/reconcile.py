@@ -9,9 +9,14 @@ after every backfill, migration, or engine swap.
 
 Scale shape: each side collapses to (key, row-hash) map-side — the
 hash is md5 over the compared columns with an explicit null sentinel,
-so the shuffle carries ~48 bytes/row regardless of row width — then
-ONE full-outer equi-join on the key decides the class. No
-driver-side collection, no row-by-row compare.
+so the keyed shuffle carries ~48 bytes/row regardless of row width —
+then ONE full-outer equi-join on the key decides the class. No
+driver-side collection, no row-by-row compare. (r18 exception, local
+only: when the input is under-split — fewer partitions than 3× cores
+— a scale-adaptive key-spread fires BEFORE the digest so the md5 pass
+parallelizes; that exchange carries the projected compare columns,
+not digests. It no-ops at cluster scale, where the digest-width
+shuffle shape above holds unchanged.)
 """
 
 from __future__ import annotations
@@ -117,12 +122,20 @@ def table_diff(
     # pre-exchange class the scale-adaptive spread targets (guide §2.5,
     # SCALE.md §25); hash-distribute on the diff key (high-cardinality
     # by contract — it identifies rows) before computing digests.
-    # No-op at cluster scale and on already-parallel inputs; measured
-    # 0.91 s → 0.58 s on q_table_diff at sf0.1.
+    # Projected to keys+compare_cols FIRST so the spread exchange never
+    # ships columns the diff doesn't read. Width trade, stated: where
+    # the spread fires (under-split local inputs) the exchange carries
+    # the compare columns instead of the module's documented ~48-byte
+    # (key, digest) rows; at cluster scale the spread no-ops and the
+    # keyed shuffle keeps the documented digest-width shape. Measured
+    # 0.91 s → 0.58 s on q_table_diff at sf0.1 (4 compare columns);
+    # the key-spread partitioning also satisfies the full-outer join's
+    # distribution, so no exchange is added — the join's moves earlier.
     from pipeline_airflow_docker_spark.operators.skew import spread  # noqa: PLC0415
 
-    old = spread(old, key=keys)
-    new = spread(new, key=keys)
+    proj = list(dict.fromkeys([*keys, *compare_cols]))
+    old = spread(old.select(*proj), key=keys)
+    new = spread(new.select(*proj), key=keys)
     o = old.select(*keys, row_hash(old, compare_cols).alias("__h_old"))
     n = new.select(*keys, row_hash(new, compare_cols).alias("__h_new"))
     joined = o.join(n, on=list(keys), how="full_outer")

@@ -117,7 +117,23 @@ def spread(
     physical plan and no-ops instead of triggering execution.
     """
     target = factor * df.sparkSession.sparkContext.defaultParallelism
-    if "Exchange" in df._jdf.queryExecution().sparkPlan().toString():
+    # Shuffle exchanges only: BroadcastExchange does NOT redistribute
+    # the probe side (a broadcast-join-decorated scan still deserves
+    # the spread), and \bExchange\b alone would also match it as a
+    # substring. The four shuffle partitionings are enumerated.
+    # executedPlan, not sparkPlan: exchanges are inserted by the
+    # EnsureRequirements preparation, which sparkPlan predates; under
+    # AQE executedPlan is the UNEXECUTED initial AdaptiveSparkPlan
+    # (isFinalPlan=false) — reading its string runs nothing (the same
+    # access tools/plan_audit.py relies on registry-wide).
+    import re  # noqa: PLC0415
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if re.search(
+        r"\bExchange (hashpartitioning|rangepartitioning"
+        r"|RoundRobinPartitioning|SinglePartition)",
+        plan,
+    ):
         return df
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -54,7 +54,14 @@ def test_profile_no_expand_either_path(spark):
     Expand (Expand ×(n+1) fed three SortAggregate layers plus a Sort of
     the expanded rows — the slowest plan in the registry); both paths
     must now plan Expand-free, and the exact path must aggregate with
-    hash aggregates, not sort aggregates."""
+    hash aggregates, not sort aggregates.
+
+    Scope: the no-SortAggregate assertion holds for NUMERIC-only
+    profiles (this fixture). Profiling a string column legitimately
+    plans one SortAggregate pair for the tiny per-idx min/max
+    finalization (string agg buffers are not hash-aggregable) — over
+    the already-collapsed distinct table, not the exploded rows; see
+    plans/r18/q_profile_after.txt nodes (13)/(16)."""
     df = spark.range(1000).select(
         F.col("id"), (F.col("id") % 13).cast("double").alias("v")
     )

@@ -77,3 +77,41 @@ def test_salted_join_matches_plain_join(spark):
         (r["row_id"], r["tag"]) for r in salted_join(skewed, dim, "k", num_salts=4).collect()
     )
     assert salted == plain and len(plain) == 902  # 900 hot + cold10 + cold20
+
+
+# ---- spread() guard behavior (r18) ----------------------------------
+
+
+def test_spread_noops_on_shuffle_exchange_plans(spark):
+    """A plan already containing a SHUFFLE exchange is already being
+    redistributed — spread() must return it untouched (probing .rdd on
+    it under AQE would eagerly execute the upstream stages)."""
+    from pipeline_airflow_docker_spark.operators.skew import spread
+
+    agg = _skewed(spark).groupBy("k").agg(F.sum("v").alias("s"))
+    assert spread(agg, key="k") is agg
+    rep = _skewed(spark).repartition(4)
+    assert spread(rep) is rep
+
+
+def test_spread_still_fires_through_broadcast_joins(spark):
+    """BroadcastExchange does NOT redistribute the probe side, so a
+    broadcast-join-decorated scan keeps its (possibly serial) input
+    layout and still deserves the spread — the guard must match
+    shuffle exchanges only, not the 'Exchange' substring of
+    BroadcastExchange."""
+    from pipeline_airflow_docker_spark.operators.skew import spread
+
+    base = _skewed(spark).coalesce(1)
+    dim = spark.createDataFrame([("hot", 1)], "k STRING, flag INT")
+    joined = base.join(F.broadcast(dim), "k", "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    out = spread(joined, key="row_id")
+    target = 3 * spark.sparkContext.defaultParallelism
+    assert out is not joined
+    assert out.rdd.getNumPartitions() == target
+    # and the result is unchanged
+    assert sorted(r["row_id"] for r in out.collect()) == sorted(
+        r["row_id"] for r in joined.collect()
+    )

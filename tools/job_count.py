@@ -23,9 +23,27 @@ os.environ.setdefault("SPARK_GRAFT_UI", "1")
 
 
 def _jobs(base: str, app_id: str) -> list[dict]:
-    url = f"{base}/api/v1/applications/{app_id}/jobs?status=succeeded"
+    # No status filter: failed/retried jobs count too — the tool makes
+    # evidence-grade claims about driver-side loop structure.
+    url = f"{base}/api/v1/applications/{app_id}/jobs"
     with urllib.request.urlopen(url, timeout=30) as r:
         return json.load(r)
+
+
+def _jobs_stable(base: str, app_id: str) -> set[int]:
+    """The status store is fed by the ASYNC listener bus, so a read
+    immediately after collect() can miss just-finished jobs. Poll until
+    two consecutive reads agree."""
+    import time  # noqa: PLC0415
+
+    prev = {j["jobId"] for j in _jobs(base, app_id)}
+    for _ in range(20):
+        time.sleep(0.25)
+        cur = {j["jobId"] for j in _jobs(base, app_id)}
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def main() -> int:
@@ -48,13 +66,13 @@ def main() -> int:
         return 2
     out = {}
     for name in args.keys:
-        before = {j["jobId"] for j in _jobs(base, app_id)}
+        before = _jobs_stable(base, app_id)
         df = plans.QUERIES[name](spark, args.sf)
         df.select(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("h"),
         ).collect()
-        after = {j["jobId"] for j in _jobs(base, app_id)}
+        after = _jobs_stable(base, app_id)
         out[name] = len(after - before)
         print(f"{name}: {out[name]} jobs", flush=True)
     print(json.dumps(out))
